@@ -1,0 +1,111 @@
+"""Exact connected components over an edge DataFrame.
+
+Algorithm: alternating large-star / small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the published
+shuffle-native CC algorithm, converging in O(log^2 n) supersteps (O(log n)
+observed) on any graph including adversarial high-diameter paths (the
+reference's worst-case Boruvka inputs, tools/test_correctness.cpp:37-48).
+
+    large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+    small-star(u): S = {v ∈ N(u) : v ≤ u} ∪ {u}; m = min(S);
+                   emit (v, m) for v ∈ S, v ≠ m
+
+The edge set contracts toward per-component stars centered at the minimum
+vertex id. Each half-round is one groupBy(u).min shuffle + one join + one
+distinct; the edge set never grows beyond the input size and shrinks
+geometrically, so late rounds are nearly free. Every round is
+localCheckpoint-ed to truncate lineage (production: Iceberg snapshot per
+round → resumable mid-convergence per BASELINE.json north_rule).
+
+Scale notes (100 TB): all shuffles key on vertex id; min is algebraic so
+map-side partial aggregation collapses power-law hub fan-in before the
+exchange. Star contraction is exactly what makes hubs *cheaper* over time:
+after round 1 a hub's neighbors point at the component min, not the hub.
+Final labeling is canonical (component = min vertex id) matching the exact
+labelings of the reference correctness suite (test/cc_alg_test.cpp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphzeppelin_spark.functions.edges import vertices_of
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    adj = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = (
+        adj.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(F.col("src").alias("u"), F.least("mn", "src").alias("m"))
+    )
+    return (
+        adj.join(m, adj.src == m.u)
+        .where(F.col("dst") > F.col("src"))
+        .select(
+            F.least("dst", "m").alias("src"),
+            F.greatest("dst", "m").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    adj = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    small = adj.where(F.col("dst") <= F.col("src")).unionAll(
+        adj.select("src", F.col("src").alias("dst")).distinct()
+    )
+    m = small.groupBy(F.col("src").alias("u")).agg(F.min("dst").alias("m"))
+    return (
+        small.join(m, small.src == m.u)
+        .where(F.col("dst") != F.col("m"))
+        .select(
+            F.least("dst", "m").alias("src"),
+            F.greatest("dst", "m").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def connected_components_df(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iters: int = 50,
+    checkpoint_each_round: bool = True,
+) -> DataFrame:
+    """Return (v:long, component:long), component = min vertex id in component.
+
+    `edges` must be canonical undirected (src<dst, no loops); `vertices`
+    optionally supplies the full vertex universe (isolated vertices included).
+    """
+    verts = vertices if vertices is not None else vertices_of(edges)
+    cur = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).distinct()
+    cur = cur.localCheckpoint(eager=True) if checkpoint_each_round else cur.persist()
+    cur_count = cur.count()
+
+    for _ in range(max_iters):
+        stepped = _small_star(_large_star(cur))
+        stepped = (
+            stepped.localCheckpoint(eager=True)
+            if checkpoint_each_round
+            else stepped.persist()
+        )
+        new_count = stepped.count()
+        if new_count == cur_count:
+            diff = stepped.exceptAll(cur).limit(1).count()
+            if diff == 0:
+                cur = stepped
+                break
+        cur, cur_count = stepped, new_count
+
+    # converged: `cur` is a star forest (src = component min, dst = member)
+    labels = verts.select(F.col("v").cast("long")).join(
+        cur.select(F.col("dst").alias("v"), F.col("src").alias("c")), "v", "left"
+    )
+    return labels.select("v", F.coalesce("c", "v").alias("component"))

@@ -1,0 +1,75 @@
+"""Label propagation over an edge DataFrame.
+
+Deterministic synchronous variant (FIXTURES.md §3): every vertex starts with
+label = its own id; each superstep every vertex adopts the minimum label among
+itself and its neighbors; fixpoint. (The min-rule makes the fixpoint exactly
+the connected-component min-labeling, which gives an exact oracle; the classic
+mode-label community variant is non-deterministic under ties and is exposed
+via `rule="mode"` for completeness, tie-broken by smallest label.)
+
+One shuffle per superstep (groupBy(v) of neighbor labels — min/mode both
+partial-aggregable; mode uses count-per-(v,label) then argmax, two shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphzeppelin_spark.functions.edges import bidirect, vertices_of
+
+
+def label_propagation_df(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iters: int = 30,
+    rule: str = "min",
+) -> DataFrame:
+    """Return (v:long, label:long)."""
+    verts = vertices if vertices is not None else vertices_of(edges)
+    labels = verts.select(F.col("v").cast("long"), F.col("v").cast("long").alias("label"))
+    edges_bi = bidirect(edges).persist()
+    edges_bi.count()
+
+    labels = labels.persist()
+    for _ in range(max_iters):
+        nbr = edges_bi.join(labels, edges_bi.src == labels.v).select(
+            F.col("dst").alias("v2"), "label"
+        )
+        if rule == "min":
+            agg = nbr.groupBy("v2").agg(F.min("label").alias("nbr_label"))
+        elif rule == "mode":
+            counted = nbr.groupBy("v2", "label").agg(F.count("*").alias("c"))
+            w = Window.partitionBy("v2").orderBy(F.desc("c"), F.asc("label"))
+            agg = (
+                counted.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("v2", F.col("label").alias("nbr_label"))
+            )
+        else:
+            raise ValueError(f"unknown rule: {rule}")
+        new_labels = (
+            labels.join(agg, labels.v == F.col("v2"), "left")
+            .select(
+                labels.v,
+                (
+                    F.least("label", F.coalesce("nbr_label", "label"))
+                    if rule == "min"
+                    else F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges_bi.unpersist()
+    return labels.select("v", "label")

@@ -1,0 +1,103 @@
+"""Exact DataFrame graph operators vs the numpy oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from graphzeppelin_spark import oracle
+from graphzeppelin_spark.functions.edges import live_edges_df
+from graphzeppelin_spark.operators.connectivity import connected_components_df
+from graphzeppelin_spark.operators.labelprop import label_propagation_df
+from graphzeppelin_spark.operators.pagerank import pagerank_df
+from graphzeppelin_spark.operators.triangles import triangle_count_df, triangles_per_vertex_df
+from graphzeppelin_spark.sources.generators import (
+    dynamic_erdos_stream,
+    kron_stream,
+    multiples_graph_stream,
+    path_graph_stream,
+)
+from tests.conftest import edges_df, stream_df
+
+
+def _vertices(spark, n):
+    return spark.range(n).selectExpr("id as v")
+
+
+def _cc_check(spark, stream_pdf, n, **kwargs):
+    edges_np = oracle.live_edges(stream_pdf, n)
+    expected = oracle.connected_components(edges_np, n)
+    e = live_edges_df(stream_df(spark, stream_pdf))
+    got = (
+        connected_components_df(e, vertices=_vertices(spark, n), **kwargs)
+        .orderBy("v")
+        .toPandas()
+    )
+    assert got["v"].tolist() == list(range(n))
+    np.testing.assert_array_equal(got["component"].to_numpy(), expected)
+
+
+def test_cc_multiples_golden(spark):
+    _cc_check(spark, multiples_graph_stream(1024), 1024)
+
+
+def test_cc_erdos_dynamic(spark):
+    _cc_check(spark, dynamic_erdos_stream(num_vertices=256, density=0.005, rounds=3, seed=9), 256)
+
+
+def test_cc_path_graph_log_rounds(spark):
+    # diameter 255; pointer jumping must converge well under 50 rounds
+    _cc_check(spark, path_graph_stream(256, seed=5), 256, max_iters=20)
+
+
+def test_cc_kron(spark):
+    _cc_check(spark, kron_stream(scale=9, edge_factor=2, seed=11), 512)
+
+
+def test_pagerank_vs_oracle(spark):
+    n = 256
+    s = kron_stream(scale=8, edge_factor=4, seed=1)
+    edges_np = oracle.live_edges(s, n)
+    expected = oracle.pagerank(edges_np, n, tol=1e-12)
+    e = edges_df(spark, edges_np)
+    got = (
+        pagerank_df(e, vertices=_vertices(spark, n), tol=1e-10, max_iters=200)
+        .orderBy("v")
+        .toPandas()
+    )
+    np.testing.assert_allclose(got["score"].to_numpy(), expected, atol=1e-6)
+    assert abs(got["score"].sum() - 1.0) < 1e-6
+
+
+def test_labelprop_min_vs_oracle(spark):
+    n = 256
+    s = dynamic_erdos_stream(num_vertices=n, density=0.01, rounds=2, seed=3)
+    edges_np = oracle.live_edges(s, n)
+    expected = oracle.connected_components(edges_np, n)  # min-label fixpoint == CC min labels
+    e = edges_df(spark, edges_np)
+    got = label_propagation_df(e, vertices=_vertices(spark, n)).orderBy("v").toPandas()
+    np.testing.assert_array_equal(got["label"].to_numpy(), expected)
+
+
+def test_triangle_count_k4_plus_isolated(spark):
+    edges = np.array([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3], [4, 5]])
+    got = triangle_count_df(edges_df(spark, edges)).collect()[0]["n_triangles"]
+    assert got == 4
+
+
+def test_triangle_count_kron_vs_oracle(spark):
+    n = 256
+    s = kron_stream(scale=8, edge_factor=6, seed=2)
+    edges_np = oracle.live_edges(s, n)
+    expected = oracle.triangle_count(edges_np, n)
+    got = triangle_count_df(edges_df(spark, edges_np)).collect()[0]["n_triangles"]
+    assert got == expected
+
+
+def test_triangles_per_vertex_sums_to_3x(spark):
+    n = 128
+    s = kron_stream(scale=7, edge_factor=6, seed=4)
+    edges_np = oracle.live_edges(s, n)
+    total = oracle.triangle_count(edges_np, n)
+    per_v = triangles_per_vertex_df(edges_df(spark, edges_np)).toPandas()
+    assert per_v["tri"].sum() == 3 * total
