@@ -1,0 +1,376 @@
+"""Vectorized numpy kernel for l0-sampling linear graph sketches.
+
+Re-derivation (NOT a port) of the sketch the reference implements in C++
+(include/sketch.h, src/sketch.cpp — behavior documented in SURVEY.md §1-2):
+each vertex v holds a linear sketch of the characteristic vector of its
+incident-edge set. Where the reference accumulates buckets with XOR over
+GF(2) (bucket.h:69-73), this kernel uses the equally classical *additive*
+one-sparse recovery over Z/2^64: a bucket accumulates (alpha += s*x,
+gamma += s*checksum(x)) with s = +1 for insert / -1 for delete (the stream
+format carries the type byte; README.md:65-71). A bucket holding exactly one
+surviving element x has gamma == checksum(alpha), which is detectable and
+yields an l0-sample. Columns route x to a geometrically-distributed depth via
+trailing-zero counts of a per-column hash. The additive form was chosen
+because numpy's add.at has a fast indexed scatter loop that bitwise_xor.at
+lacks (~4x); the algebra is still a commutative, associative, invertible
+linear aggregate, so insert/delete cancel and merging two vertices' sketches
+yields the sketch of the (signed) union of their edge sets — exactly what
+Boruvka contraction needs. On any well-formed stream (deletes only of live
+edges) the result is identical to the XOR formulation.
+
+Two variants, matching the reference's compile-time switch
+(include/sketch.h:183-190, src/cc_alg_configuration.cpp:32-36):
+- "cubesketch" (l0-sampling, -DL0_SAMPLING): update all buckets of a column
+  from depth 0 down to the sampled depth; cols_per_sample=7.
+- "cameo" (CameoSketch, the default): update only the single deepest bucket;
+  cols_per_sample=1 with a larger sample count.
+
+Everything here is batch-vectorized numpy over *matrices* of sketches
+(one row per vertex) so a Spark Arrow batch is processed without Python
+loops over rows. Hashing is splitmix64 (public domain constant mixing),
+seeded per (sketch_seed, column).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+# splitmix64 constants (public domain; Steele et al.)
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+ZERO = 0  # sample statuses
+GOOD = 1
+FAIL = 2
+
+# De Bruijn sequence for branch-free 64-bit ctz (public-domain bit trick)
+_DEBRUIJN = np.uint64(0x03F79D71B4CA8B09)
+_DEBRUIJN_TBL = np.zeros(64, dtype=np.int64)
+for _i in range(64):
+    _DEBRUIJN_TBL[int((_DEBRUIJN << np.uint64(_i)) >> np.uint64(58))] = _i
+
+
+_SCRATCH: dict[tuple[int, int], tuple[np.ndarray, ...]] = {}
+
+
+def _scratch(b: int, c: int) -> tuple[np.ndarray, ...]:
+    """Per-process scratch buffers (H, T, DEPTH, IDX, VAL) for update_many."""
+    key = (b, c)
+    if key not in _SCRATCH:
+        if len(_SCRATCH) > 4:  # bound residency in long-lived executors
+            _SCRATCH.clear()
+        H = np.empty((b, c), dtype=np.uint64)
+        T = np.empty_like(H)
+        DEPTH = np.empty((b, c), dtype=np.int64)
+        IDX = np.empty((b, c), dtype=np.int64)
+        VAL = np.empty(b * c, dtype=np.uint64)
+        _SCRATCH[key] = (H, T, DEPTH, IDX, VAL)
+    return _SCRATCH[key]
+
+
+def splitmix64(x: np.ndarray, seed: int | np.uint64) -> np.ndarray:
+    """Vectorized splitmix64 finalizer of (x + seeded stream position)."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + (np.uint64(seed) + np.uint64(1)) * _SM_GAMMA
+        z = (z ^ (z >> np.uint64(30))) * _SM_M1
+        z = (z ^ (z >> np.uint64(27))) * _SM_M2
+        return z ^ (z >> np.uint64(31))
+
+
+def _ctz(h: np.ndarray, cap: int) -> np.ndarray:
+    """Count trailing zeros of each uint64, capped at cap-1 (cap = bkt_per_col)."""
+    capped = h | (np.uint64(1) << np.uint64(cap - 1))
+    # ctz(x) = popcount((x & -x) - 1); use bit_count (numpy >= 1.23 via uint64 method)
+    low = capped & (~capped + np.uint64(1))
+    return _popcount(low - np.uint64(1))
+
+
+def _popcount(x: np.ndarray) -> np.ndarray:
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    with np.errstate(over="ignore"):
+        return ((x * h01) >> np.uint64(56)).astype(np.int64)
+
+
+@dataclass(frozen=True)
+class SketchGeometry:
+    """Sketch shape derived from the vertex-universe size (SURVEY.md §1.2).
+
+    num_samples = max(4, ceil(f * log2(n) / div)) with div = log2(3)-1 for
+    cubesketch (l0) / 1 - log2(2-0.8) for cameo — the reference's sample
+    budget (include/sketch.h:74-76,183-190) guaranteeing enough independent
+    sample groups for every Boruvka round whp.
+    """
+
+    num_vertices: int
+    seed: int = 42
+    samples_factor: float = 1.0
+    variant: str = "cubesketch"
+
+    @property
+    def vector_len(self) -> int:
+        # edge ids are lo * n + hi < n^2
+        return self.num_vertices * self.num_vertices
+
+    @property
+    def bkt_per_col(self) -> int:
+        return int(np.ceil(np.log2(max(self.vector_len, 2)))) + 1
+
+    @property
+    def cols_per_sample(self) -> int:
+        return 7 if self.variant == "cubesketch" else 3
+
+    @property
+    def num_samples(self) -> int:
+        div = (np.log2(3) - 1) if self.variant == "cubesketch" else (1 - np.log2(1.2))
+        n = max(self.num_vertices, 2)
+        return int(max(4, np.ceil(self.samples_factor * np.log2(n) / div)))
+
+    @property
+    def num_columns(self) -> int:
+        return self.num_samples * self.cols_per_sample
+
+    @property
+    def num_buckets(self) -> int:
+        return self.num_columns * self.bkt_per_col + 1  # +1 deterministic bucket
+
+    @property
+    def nbytes(self) -> int:
+        return self.num_buckets * 16  # alpha + gamma, uint64 each
+
+    def column_seed(self, col: int | np.ndarray) -> np.ndarray:
+        return np.uint64(self.seed) + np.uint64(7) * np.asarray(col, dtype=np.uint64)
+
+    @property
+    def checksum_seed(self) -> np.uint64:
+        return np.uint64(self.seed) ^ np.uint64(0xC3A5C85C97CB3127)
+
+
+class SketchMatrix:
+    """A batch of sketches: rows = local vertex slots, columns = buckets.
+
+    buckets: (num_rows, num_buckets, 2) uint64 — [..., 0] = alpha, [..., 1] = gamma.
+    """
+
+    def __init__(self, geom: SketchGeometry, num_rows: int, buckets: np.ndarray | None = None):
+        self.geom = geom
+        self.num_rows = num_rows
+        if buckets is None:
+            buckets = np.zeros((num_rows, geom.num_buckets, 2), dtype=np.uint64)
+        self.buckets = buckets
+
+    # -- update ------------------------------------------------------------
+
+    def update_many(
+        self,
+        rows: np.ndarray,
+        eids: np.ndarray,
+        signs: np.ndarray | None = None,
+        chunk: int = 32768,
+    ) -> None:
+        """Apply updates: rows[i] receives edge-id eids[i] with sign signs[i]
+        (+1 insert / -1 delete; default all inserts). Deletes are exact
+        inverses, so a delete cancels the prior insert bucket-for-bucket.
+
+        Storage is *exact-depth*: column c's bucket at depth d accumulates
+        exactly the elements whose column-hash has d trailing zeros. The
+        classical l0-sampling semantics (bucket d holds all elements of depth
+        >= d) is recovered at query time by a suffix-sum along the depth axis
+        — valid because the aggregate is associative — which turns the l0
+        update from O(depth) scatters into exactly one scatter per column.
+        This is the engine's own re-formulation, not the reference's layout.
+
+        Fully vectorized: per chunk, one broadcasted splitmix64 over
+        (batch x columns) and a single add.at scatter.
+        """
+        g = self.geom
+        rows = np.asarray(rows, dtype=np.int64)
+        x_all = np.asarray(eids, dtype=np.uint64)
+        if signs is None:
+            sgn_all = None
+        else:
+            sgn_all = np.asarray(signs, dtype=np.int64).astype(np.uint64)  # -1 wraps
+        alpha = self.buckets[..., 0].reshape(-1)
+        gamma = self.buckets[..., 1].reshape(-1)
+        nb = g.num_buckets
+        bpc = g.bkt_per_col
+        C = g.num_columns
+        seeds = self.geom.column_seed(np.arange(C))
+        col_off = (np.arange(C, dtype=np.int64) * bpc)[None, :]
+
+        # process-cached scratch, reused across chunks AND across calls (Spark
+        # UDFs invoke update_many once per Arrow batch; first-touch page
+        # faults on ~170MB of scratch would otherwise dominate)
+        H, T, DEPTH, IDX, VAL = _scratch(min(chunk, len(x_all)), C)
+        seed_term = (seeds + np.uint64(1)) * _SM_GAMMA
+        cap_bit = np.uint64(1) << np.uint64(bpc - 1)
+
+        with np.errstate(over="ignore"):
+            for lo_i in range(0, len(x_all), chunk):
+                x = x_all[lo_i : lo_i + chunk]
+                b = len(x)
+                base = rows[lo_i : lo_i + chunk] * nb
+                checks = splitmix64(x, g.checksum_seed)
+                if sgn_all is not None:
+                    s = sgn_all[lo_i : lo_i + chunk]
+                    xv = x * s
+                    checks = checks * s
+                else:
+                    xv = x
+                h, t, dep, idx = H[:b], T[:b], DEPTH[:b], IDX[:b]
+                # splitmix64(x + (seed_c+1)*GAMMA) for all columns, in place
+                np.add(x[:, None], seed_term[None, :], out=h)
+                np.right_shift(h, np.uint64(30), out=t)
+                np.bitwise_xor(h, t, out=h)
+                np.multiply(h, _SM_M1, out=h)
+                np.right_shift(h, np.uint64(27), out=t)
+                np.bitwise_xor(h, t, out=h)
+                np.multiply(h, _SM_M2, out=h)
+                np.right_shift(h, np.uint64(31), out=t)
+                np.bitwise_xor(h, t, out=h)
+                # capped ctz via De Bruijn: depth = ctz(h | cap_bit)
+                np.bitwise_or(h, cap_bit, out=h)
+                np.negative(h, out=t)
+                np.bitwise_and(h, t, out=t)  # lowest set bit
+                np.multiply(t, _DEBRUIJN, out=t)
+                np.right_shift(t, np.uint64(58), out=t)
+                # t < 64 after the >>58, so the int64 view is value-identical
+                np.take(_DEBRUIJN_TBL, t.view(np.int64), out=dep, mode="clip")
+                # flat bucket index = base + col*bpc + depth
+                np.add(dep, col_off, out=idx)
+                np.add(idx, base[:, None], out=idx)
+                # flat 1-D scatter: ~4x faster than 2-D fancy-index .at
+                flat_idx = idx.reshape(-1)
+                val = VAL[: b * C]
+                np.copyto(val.reshape(b, C), xv[:, None])
+                np.add.at(alpha, flat_idx, val)
+                np.copyto(val.reshape(b, C), checks[:, None])
+                np.add.at(gamma, flat_idx, val)
+                det = base + (nb - 1)
+                np.add.at(alpha, det, xv)
+                np.add.at(gamma, det, checks)
+
+    # -- algebra -----------------------------------------------------------
+
+    def merge_rows_from(self, other: "SketchMatrix", dst_rows: np.ndarray, src_rows: np.ndarray) -> None:
+        """buckets[dst] += other.buckets[src] (bucket-wise additive merge)."""
+        np.add.at(self.buckets, np.asarray(dst_rows), other.buckets[np.asarray(src_rows)])
+
+    def merged_by_group(self, groups: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Additively combine rows sharing a group key.
+
+        Returns (unique_groups, combined buckets (g, num_buckets, 2)).
+        This is the supernode merge of a Boruvka round.
+        """
+        groups = np.asarray(groups)
+        uniq, inv = np.unique(groups, return_inverse=True)
+        out = np.zeros((len(uniq),) + self.buckets.shape[1:], dtype=np.uint64)
+        np.add.at(out, inv, self.buckets)
+        return uniq, out
+
+    # -- sampling ----------------------------------------------------------
+
+    def _good_mask(self, alpha: np.ndarray, gamma: np.ndarray) -> np.ndarray:
+        """Bucket holds exactly one element: alpha != 0 and gamma == checksum(alpha).
+
+        (Edge-id 0 never occurs: eid = lo*n + hi with hi > lo >= 0 ⇒ eid >= 1,
+        so alpha == 0 means empty/cancelled whp; multi-element or negative
+        partial sums fail the checksum whp.)"""
+        return (alpha != 0) & (gamma == splitmix64(alpha, self.geom.checksum_seed))
+
+    def sample_many(self, sample_idx: int) -> tuple[np.ndarray, np.ndarray]:
+        """l0-sample every row using sample group `sample_idx`'s columns only.
+
+        Returns (status: int8 array, eid: uint64 array). Mirrors the
+        reference query discipline: each Boruvka round consumes one fresh
+        sample group so query rounds stay independent (sketch.cpp:94-116).
+        """
+        g = self.geom
+        bpc, cps = g.bkt_per_col, g.cols_per_sample
+        det_alpha = self.buckets[:, -1, 0]
+        det_gamma = self.buckets[:, -1, 1]
+        status = np.full(self.num_rows, FAIL, dtype=np.int8)
+        eid = np.zeros(self.num_rows, dtype=np.uint64)
+
+        empty = (det_alpha == 0) & (det_gamma == 0)
+        status[empty] = ZERO
+
+        det_good = self._good_mask(det_alpha, det_gamma) & ~empty
+        status[det_good] = GOOD
+        eid[det_good] = det_alpha[det_good]
+
+        start = sample_idx * cps * bpc
+        cols = self.buckets[:, start : start + cps * bpc, :]
+        a = cols[..., 0]
+        gm = cols[..., 1]
+        if g.variant == "cubesketch":
+            # materialize l0 ">= depth" semantics: suffix-sum along depth axis
+            with np.errstate(over="ignore"):
+                a4 = a.reshape(self.num_rows, cps, bpc)
+                g4 = gm.reshape(self.num_rows, cps, bpc)
+                a = np.flip(
+                    np.add.accumulate(np.flip(a4, axis=2), axis=2), axis=2
+                ).reshape(self.num_rows, cps * bpc)
+                gm = np.flip(
+                    np.add.accumulate(np.flip(g4, axis=2), axis=2), axis=2
+                ).reshape(self.num_rows, cps * bpc)
+        good = self._good_mask(a, gm)
+        rows_todo = ~empty & ~det_good
+        anygood = good.any(axis=1) & rows_todo
+        first = np.argmax(good, axis=1)
+        status[anygood] = GOOD
+        eid[anygood] = a[np.arange(self.num_rows), first][anygood]
+        return status, eid
+
+    def exhaustive_sample(self, row: int) -> set[int]:
+        """All distinct elements recoverable from any good bucket of one row
+        (reference exhaustive_sample, sketch.cpp:118-147 — used for
+        k-spanning-forest queries)."""
+        g = self.geom
+        a = self.buckets[row, :-1, 0]
+        gm = self.buckets[row, :-1, 1]
+        if g.variant == "cubesketch":
+            with np.errstate(over="ignore"):
+                a3 = a.reshape(g.num_columns, g.bkt_per_col)
+                g3 = gm.reshape(g.num_columns, g.bkt_per_col)
+                a = np.flip(np.add.accumulate(np.flip(a3, axis=1), axis=1), axis=1).ravel()
+                gm = np.flip(np.add.accumulate(np.flip(g3, axis=1), axis=1), axis=1).ravel()
+        good = self._good_mask(a, gm)
+        out = set(a[good].tolist())
+        det_a, det_g = self.buckets[row, -1, 0], self.buckets[row, -1, 1]
+        if self._good_mask(np.array([det_a]), np.array([det_g]))[0]:
+            out.add(int(det_a))
+        return out
+
+    # -- serialization -----------------------------------------------------
+
+    def to_bytes_rows(self) -> list[bytes]:
+        return [self.buckets[i].tobytes() for i in range(self.num_rows)]
+
+    @classmethod
+    def from_bytes_rows(cls, geom: SketchGeometry, blobs: "list[bytes] | np.ndarray") -> "SketchMatrix":
+        n = len(blobs)
+        buckets = np.empty((n, geom.num_buckets, 2), dtype=np.uint64)
+        for i, b in enumerate(blobs):
+            buckets[i] = np.frombuffer(b, dtype=np.uint64).reshape(geom.num_buckets, 2)
+        return cls(geom, n, buckets)
+
+
+def encode_edges(src: np.ndarray, dst: np.ndarray, num_vertices: int) -> np.ndarray:
+    """Canonical edge id: lo * n + hi (uint64). Inverse: (eid // n, eid % n)."""
+    lo = np.minimum(src, dst).astype(np.uint64)
+    hi = np.maximum(src, dst).astype(np.uint64)
+    return lo * np.uint64(num_vertices) + hi
+
+
+def decode_edges(eids: np.ndarray, num_vertices: int) -> tuple[np.ndarray, np.ndarray]:
+    n = np.uint64(num_vertices)
+    return (eids // n).astype(np.int64), (eids % n).astype(np.int64)
