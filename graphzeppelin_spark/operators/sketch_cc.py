@@ -1,0 +1,360 @@
+"""Distributed GraphZeppelin-style sketch connected components (Boruvka merges).
+
+The Spark rendering of the reference's CC pipeline (SURVEY.md §3.1):
+
+  reference (C++, one box)                     this engine (Spark)
+  ------------------------------------------   --------------------------------
+  guttering system shuffle by vertex           repartition(vertex) + mapInPandas
+  delta sketches + locked merge                per-partition SketchMatrix build
+                                               (partition == final owner, so no
+                                               second merge on first build)
+  boruvka round: group members by root,        prune to round's sample-group
+  range_merge + sample (OpenMP)                columns (the range_merge column
+                                               pruning, done BEFORE the shuffle)
+                                               → partial per-partition sums →
+                                               groupBy(root) final sum + sample
+  driver DSU on sampled edges                  numpy DSU on collected (root,eid)
+                                               rows (≤ #components per round,
+                                               geometrically shrinking)
+
+State is a DataFrame (vertex: long, sketch: binary) — the Spark image of the
+reference's Bucket* arrays — checkpointable to parquet at any point and
+mergeable with later micro-batch deltas because the sketch is a linear
+aggregate (streaming/driver.py builds on this).
+
+Scale notes: the only full-width shuffle is the initial repartition(vertex)
+(the reference's gutter shuffle). Boruvka rounds ship pruned slices
+(~1/num_samples of the state) and partial-aggregate per partition before the
+groupBy(root) exchange, so a giant component never concentrates more rows on
+one reducer than there are map partitions. Hub skew at ingest is handled by
+the net-multiplicity pre-aggregation (groupBy(vertex, eid) partial agg) which
+collapses repeat updates JVM-side before any Python work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graphzeppelin_spark.sketch.dsu import NumpyDSU
+from graphzeppelin_spark.sketch.kernel import (
+    GOOD,
+    SketchGeometry,
+    SketchMatrix,
+    decode_edges,
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("vertex", T.LongType(), False),
+        T.StructField("sketch", T.BinaryType(), False),
+    ]
+)
+
+PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("root", T.LongType(), False),
+        T.StructField("sketch", T.BinaryType(), False),
+    ]
+)
+
+SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("root", T.LongType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("eid", T.LongType(), False),
+    ]
+)
+
+
+def _u64_col_to_i64(arr: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(arr, dtype=np.uint64).view(np.int64)
+
+
+class SketchCC:
+    """Sketch-based dynamic connected components over an edge-update stream."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        num_vertices: int,
+        seed: int = 42,
+        variant: str = "cubesketch",
+        samples_factor: float = 1.0,
+        num_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.num_vertices = num_vertices
+        self.geom = SketchGeometry(
+            num_vertices=num_vertices,
+            seed=seed,
+            samples_factor=samples_factor,
+            variant=variant,
+        )
+        self.num_partitions = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+
+    # ------------------------------------------------------------------ build
+
+    def updates_from_stream(self, stream: DataFrame) -> DataFrame:
+        """(seq,type,src,dst) → (vertex, eid, net) with JVM-side pre-aggregation.
+
+        Each undirected update hits both endpoints (the reference's double
+        gutter insert, graph_sketch_driver.h:171-172), with the AGM
+        signed-incidence convention: +eid at the lo endpoint, -eid at the hi
+        endpoint, times +1 insert / -1 delete — so summing a supernode's
+        member sketches cancels internal edges exactly (the role XOR plays in
+        the reference). net = the signed multiplicity per (vertex, edge):
+        repeat/cancelled updates collapse in the JVM partial agg before any
+        Python runs.
+        """
+        n = self.num_vertices
+        canon = stream.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+            F.when(F.col("type") == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+        ).where(F.col("lo") != F.col("hi"))
+        eid = (F.col("lo") * F.lit(n) + F.col("hi")).alias("eid")
+        both = canon.select(F.col("lo").alias("vertex"), eid, "sign").unionAll(
+            canon.select(
+                F.col("hi").alias("vertex"), eid, (-F.col("sign")).alias("sign")
+            )
+        )
+        return (
+            both.groupBy("vertex", "eid")
+            .agg(F.sum("sign").alias("net"))
+            .where(F.col("net") != 0)
+        )
+
+    def build_state(self, stream: DataFrame) -> DataFrame:
+        """Build the (vertex, sketch) state table from a full stream slice."""
+        geom = self.geom
+        updates = self.updates_from_stream(stream).repartition(
+            self.num_partitions, "vertex"
+        )
+
+        def _build(batches):
+            for pdf in _concat(batches):
+                verts = pdf["vertex"].to_numpy(np.int64)
+                uniq, inv = np.unique(verts, return_inverse=True)
+                sm = SketchMatrix(geom, len(uniq))
+                sm.update_many(
+                    inv,
+                    pdf["eid"].to_numpy(np.uint64),
+                    signs=pdf["net"].to_numpy(np.int64),
+                )
+                yield pd.DataFrame({"vertex": uniq, "sketch": sm.to_bytes_rows()})
+
+        return updates.mapInPandas(_build, schema=STATE_SCHEMA)
+
+    def merge_states(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        """Additive merge of two state tables (linear-sketch property)."""
+        geom = self.geom
+        both = a.unionAll(b).repartition(self.num_partitions, "vertex")
+
+        def _merge(batches):
+            for pdf in _concat(batches):
+                verts = pdf["vertex"].to_numpy(np.int64)
+                uniq, inv = np.unique(verts, return_inverse=True)
+                sm = SketchMatrix.from_bytes_rows(geom, pdf["sketch"].tolist())
+                groups, combined = sm.merged_by_group(inv)
+                out = SketchMatrix(geom, len(uniq), combined)
+                yield pd.DataFrame({"vertex": uniq, "sketch": out.to_bytes_rows()})
+
+        return both.mapInPandas(_merge, schema=STATE_SCHEMA)
+
+    # ------------------------------------------------------------------ query
+
+    def _prune_slice(self, sample_idx: int):
+        """Byte ranges of sample group `sample_idx`'s columns + det bucket —
+        the reference's range_merge column pruning (sketch.cpp:156-179),
+        applied before the Boruvka shuffle."""
+        g = self.geom
+        bpc, cps = g.bkt_per_col, g.cols_per_sample
+        start = sample_idx * cps * bpc * 16
+        width = cps * bpc * 16
+        det_off = (g.num_buckets - 1) * 16
+        return start, width, det_off
+
+    def boruvka(
+        self, state: DataFrame, max_rounds: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Run Boruvka over the sketch state.
+
+        Returns (labels: int64[num_vertices] — component = min member id,
+        forest: (m,2) int64 spanning-forest edges).
+        """
+        g = self.geom
+        n = self.num_vertices
+        budget = g.num_samples if max_rounds is None else min(max_rounds, g.num_samples)
+        dsu = NumpyDSU(n)
+        forest: list[tuple[int, int]] = []
+        state = state.persist()
+        state.count()
+
+        for rnd in range(budget):
+            labels = dsu.labels()
+            if rnd == 0:
+                sampled = self._sample_round0(state)
+            else:
+                sampled = self._sample_round(state, labels, rnd)
+            good = sampled[sampled["status"] == GOOD]
+            if len(good) == 0:
+                break
+            eids = good["eid"].to_numpy(np.uint64)
+            lo, hi = decode_edges(eids, n)
+            valid = (lo >= 0) & (lo < hi) & (hi < n)  # checksum false-positive guard
+            lo, hi = lo[valid], hi[valid]
+            merged = 0
+            for s, d in zip(lo, hi):
+                rs, rd = dsu.find(int(s)), dsu.find(int(d))
+                if rs != rd:
+                    lo_r, hi_r = (rs, rd) if rs < rd else (rd, rs)
+                    dsu.parent[hi_r] = lo_r
+                    forest.append((int(s), int(d)))
+                    merged += 1
+            if merged == 0:
+                break
+        state.unpersist()
+        fa = np.array(forest, dtype=np.int64).reshape(-1, 2)
+        return dsu.labels(), fa
+
+    def _sample_round0(self, state: DataFrame) -> pd.DataFrame:
+        """Round 0: sample every vertex's own sketch (cc_sketch_alg.cpp:223-244
+        analog) — no shuffle at all, one map pass."""
+        geom = self.geom
+
+        def _sample(batches):
+            for pdf in _concat(batches):
+                sm = SketchMatrix.from_bytes_rows(geom, pdf["sketch"].tolist())
+                status, eid = sm.sample_many(0)
+                eid[status != GOOD] = 0
+                yield pd.DataFrame(
+                    {
+                        "root": pdf["vertex"].to_numpy(np.int64),
+                        "status": status.astype(np.int32),
+                        "eid": _u64_col_to_i64(eid),
+                    }
+                )
+
+        out = state.mapInPandas(_sample, schema=SAMPLE_SCHEMA)
+        pdf = out.where(F.col("status") == GOOD).toPandas()
+        pdf["eid"] = pdf["eid"].astype(np.int64).to_numpy().view(np.uint64)
+        return pdf
+
+    def _sample_round(
+        self, state: DataFrame, labels: np.ndarray, sample_idx: int
+    ) -> pd.DataFrame:
+        """Round r: prune each sketch to sample group r's columns, partial-sum
+        per (partition, root), final-sum + sample per root."""
+        geom = self.geom
+        start, width, det_off = self._prune_slice(sample_idx)
+        spark = self.spark
+        labels_df = F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {"vertex": np.arange(len(labels), dtype=np.int64), "root": labels}
+                )
+            )
+        )
+        joined = state.join(labels_df, "vertex").select("root", "sketch")
+        slice_nbuckets = width // 16 + 1
+
+        def _partial(batches):
+            for pdf in _concat(batches):
+                roots = pdf["root"].to_numpy(np.int64)
+                blobs = pdf["sketch"].tolist()
+                arr = np.empty((len(blobs), slice_nbuckets, 2), dtype=np.uint64)
+                for i, b in enumerate(blobs):
+                    full = np.frombuffer(b, dtype=np.uint64)
+                    arr[i, :-1] = full[start // 8 : (start + width) // 8].reshape(-1, 2)
+                    arr[i, -1] = full[det_off // 8 : det_off // 8 + 2]
+                uniq, inv = np.unique(roots, return_inverse=True)
+                out = np.zeros((len(uniq), slice_nbuckets, 2), dtype=np.uint64)
+                np.add.at(out, inv, arr)
+                yield pd.DataFrame(
+                    {
+                        "root": uniq,
+                        "sketch": [out[i].tobytes() for i in range(len(uniq))],
+                    }
+                )
+
+        partials = joined.mapInPandas(_partial, schema=PARTIAL_SCHEMA)
+
+        slice_geom = _SliceGeom(geom, slice_nbuckets)
+
+        def _final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            arr = np.zeros((slice_nbuckets, 2), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for b in pdf["sketch"]:
+                    arr += np.frombuffer(b, dtype=np.uint64).reshape(slice_nbuckets, 2)
+            sm = SketchMatrix(slice_geom, 1, arr[None, ...])
+            status, eid = sm.sample_many(0)
+            good = int(status[0]) == GOOD
+            return pd.DataFrame(
+                {
+                    "root": [key[0]],
+                    "status": [int(status[0])],
+                    "eid": [int(_u64_col_to_i64(eid[:1])[0]) if good else 0],
+                }
+            )
+
+        out = partials.groupBy("root").applyInPandas(_final, schema=SAMPLE_SCHEMA)
+        pdf = out.where(F.col("status") == GOOD).toPandas()
+        pdf["eid"] = pdf["eid"].astype(np.int64).to_numpy().view(np.uint64)
+        return pdf
+
+    # ------------------------------------------------------------- public API
+
+    def connected_components(self, state: DataFrame) -> DataFrame:
+        labels, _ = self.boruvka(state)
+        return self.spark.createDataFrame(
+            pd.DataFrame(
+                {"v": np.arange(self.num_vertices, dtype=np.int64), "component": labels}
+            )
+        )
+
+    def spanning_forest(self, state: DataFrame) -> DataFrame:
+        _, forest = self.boruvka(state)
+        return self.spark.createDataFrame(
+            pd.DataFrame({"src": forest[:, 0], "dst": forest[:, 1]}),
+            schema="src long, dst long",
+        )
+
+    def point_query(self, state_or_labels, a: int, b: int) -> bool:
+        if isinstance(state_or_labels, np.ndarray):
+            labels = state_or_labels
+        else:
+            labels, _ = self.boruvka(state_or_labels)
+        return bool(labels[a] == labels[b])
+
+
+class _SliceGeom:
+    """Geometry view for a pruned one-sample-group slice: the slice looks like
+    a sketch with num_samples=1 whose columns are the group's columns."""
+
+    def __init__(self, full: SketchGeometry, slice_nbuckets: int):
+        self.num_vertices = full.num_vertices
+        self.seed = full.seed
+        self.variant = full.variant
+        self.bkt_per_col = full.bkt_per_col
+        self.cols_per_sample = full.cols_per_sample
+        self.num_samples = 1
+        self.num_columns = full.cols_per_sample
+        self.num_buckets = slice_nbuckets
+        self.checksum_seed = full.checksum_seed
+
+    def column_seed(self, col):
+        raise NotImplementedError("pruned slices are query-only")
+
+
+def _concat(batches):
+    """Coalesce an iterator of small Arrow batches into one pandas frame."""
+    pdfs = list(batches)
+    if not pdfs:
+        return
+    yield pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]

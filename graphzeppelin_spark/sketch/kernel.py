@@ -278,13 +278,30 @@ class SketchMatrix:
 
     # -- sampling ----------------------------------------------------------
 
-    def _good_mask(self, alpha: np.ndarray, gamma: np.ndarray) -> np.ndarray:
-        """Bucket holds exactly one element: alpha != 0 and gamma == checksum(alpha).
+    def _good_resolve(
+        self, alpha: np.ndarray, gamma: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """One-sparse detection under the signed-incidence convention.
 
-        (Edge-id 0 never occurs: eid = lo*n + hi with hi > lo >= 0 ⇒ eid >= 1,
-        so alpha == 0 means empty/cancelled whp; multi-element or negative
-        partial sums fail the checksum whp.)"""
-        return (alpha != 0) & (gamma == splitmix64(alpha, self.geom.checksum_seed))
+        Elements enter a sketch as +x (vertex is the edge's lo endpoint) or
+        -x (hi endpoint) — the classic AGM signed incidence vector — so that
+        summing the sketches of a supernode's members cancels internal edges
+        exactly and leaves only cut edges. A bucket holding one surviving
+        element is therefore (+x, +checksum(x)) or (-x, -checksum(x)); check
+        both orientations and return the recovered |x|.
+
+        Returns (good_mask, resolved_value). Edge-id 0 never occurs
+        (eid = lo*n + hi with hi > lo >= 0 ⇒ eid >= 1), so alpha == 0 means
+        empty/cancelled; collisions fail the checksum whp (2^-64)."""
+        cs = self.geom.checksum_seed
+        with np.errstate(over="ignore"):
+            neg_alpha = -alpha
+            pos = gamma == splitmix64(alpha, cs)
+            neg = (-gamma) == splitmix64(neg_alpha, cs)
+        nonzero = alpha != 0
+        good = nonzero & (pos | neg)
+        val = np.where(pos, alpha, neg_alpha)
+        return good, val
 
     def sample_many(self, sample_idx: int) -> tuple[np.ndarray, np.ndarray]:
         """l0-sample every row using sample group `sample_idx`'s columns only.
@@ -303,9 +320,10 @@ class SketchMatrix:
         empty = (det_alpha == 0) & (det_gamma == 0)
         status[empty] = ZERO
 
-        det_good = self._good_mask(det_alpha, det_gamma) & ~empty
+        det_good_m, det_val = self._good_resolve(det_alpha, det_gamma)
+        det_good = det_good_m & ~empty
         status[det_good] = GOOD
-        eid[det_good] = det_alpha[det_good]
+        eid[det_good] = det_val[det_good]
 
         start = sample_idx * cps * bpc
         cols = self.buckets[:, start : start + cps * bpc, :]
@@ -322,12 +340,12 @@ class SketchMatrix:
                 gm = np.flip(
                     np.add.accumulate(np.flip(g4, axis=2), axis=2), axis=2
                 ).reshape(self.num_rows, cps * bpc)
-        good = self._good_mask(a, gm)
+        good, val = self._good_resolve(a, gm)
         rows_todo = ~empty & ~det_good
         anygood = good.any(axis=1) & rows_todo
         first = np.argmax(good, axis=1)
         status[anygood] = GOOD
-        eid[anygood] = a[np.arange(self.num_rows), first][anygood]
+        eid[anygood] = val[np.arange(self.num_rows), first][anygood]
         return status, eid
 
     def exhaustive_sample(self, row: int) -> set[int]:
@@ -343,11 +361,13 @@ class SketchMatrix:
                 g3 = gm.reshape(g.num_columns, g.bkt_per_col)
                 a = np.flip(np.add.accumulate(np.flip(a3, axis=1), axis=1), axis=1).ravel()
                 gm = np.flip(np.add.accumulate(np.flip(g3, axis=1), axis=1), axis=1).ravel()
-        good = self._good_mask(a, gm)
-        out = set(a[good].tolist())
-        det_a, det_g = self.buckets[row, -1, 0], self.buckets[row, -1, 1]
-        if self._good_mask(np.array([det_a]), np.array([det_g]))[0]:
-            out.add(int(det_a))
+        good, val = self._good_resolve(a, gm)
+        out = set(val[good].tolist())
+        det_good, det_val = self._good_resolve(
+            self.buckets[row, -1:, 0], self.buckets[row, -1:, 1]
+        )
+        if det_good[0]:
+            out.add(int(det_val[0]))
         return out
 
     # -- serialization -----------------------------------------------------
