@@ -1,0 +1,78 @@
+"""Checkpoint store: resumable sketch/label state with per-partition lineage + metrics.
+
+The Spark analog of the reference's write_binary / construct_from_serialized_data
+(src/cc_sketch_alg.cpp:614-623, 30-64), upgraded to the north_rule requirements:
+every committed snapshot carries (seed, num_vertices, variant, seq_watermark,
+round) metadata plus per-partition row counts, so any job can resume
+mid-stream or mid-convergence from the latest (or any) snapshot.
+
+Storage is parquet directories under a root path, one per snapshot id, with a
+JSON metadata sidecar — the same snapshot/lineage semantics an Iceberg table
+would give (this sandbox has no Iceberg jars; the layout is deliberately
+Iceberg-shaped: immutable snapshot dirs + metadata, atomically published by
+writing the metadata file last)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _snap_dir(self, snap_id: int) -> str:
+        return os.path.join(self.root, f"snap-{snap_id:08d}")
+
+    def latest_id(self) -> int | None:
+        snaps = [
+            int(d.split("-")[1])
+            for d in os.listdir(self.root)
+            if d.startswith("snap-")
+            and os.path.exists(os.path.join(self.root, d, "metadata.json"))
+        ]
+        return max(snaps) if snaps else None
+
+    def commit(self, state: DataFrame, metadata: dict[str, Any]) -> int:
+        """Write a new snapshot; returns its id. Metadata file is written last
+        so readers never observe a half-written snapshot."""
+        snap_id = (self.latest_id() or 0) + 1
+        d = self._snap_dir(snap_id)
+        data_path = os.path.join(d, "state")
+        with_part = state.withColumn("_part", F.spark_partition_id())
+        with_part.write.mode("overwrite").parquet(data_path)
+        # per-partition lineage/metrics (north_rule)
+        part_metrics = [
+            {"partition": int(r["_part"]), "rows": int(r["rows"])}
+            for r in with_part.groupBy("_part").agg(F.count("*").alias("rows")).collect()
+        ]
+        meta = dict(metadata)
+        meta.update(
+            {
+                "snapshot_id": snap_id,
+                "committed_at": time.time(),
+                "partitions": part_metrics,
+                "total_rows": sum(p["rows"] for p in part_metrics),
+            }
+        )
+        with open(os.path.join(d, "metadata.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        return snap_id
+
+    def read(self, snap_id: int | None = None) -> tuple[DataFrame, dict[str, Any]]:
+        sid = snap_id if snap_id is not None else self.latest_id()
+        if sid is None:
+            raise FileNotFoundError(f"no snapshots under {self.root}")
+        d = self._snap_dir(sid)
+        with open(os.path.join(d, "metadata.json")) as f:
+            meta = json.load(f)
+        df = self.spark.read.parquet(os.path.join(d, "state")).drop("_part")
+        return df, meta

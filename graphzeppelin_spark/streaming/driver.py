@@ -1,0 +1,195 @@
+"""Micro-batch graph-stream driver: breakpoints, eager cache, checkpoint/resume.
+
+The Spark rendering of the reference's GraphSketchDriver + eager-DSU
+optimization (SURVEY.md §3, include/graph_sketch_driver.h, eager pre_insert at
+src/cc_sketch_alg.cpp:79-104):
+
+- the stream is a seq-ordered DataFrame of (seq, type, src, dst) toggle
+  updates; `process_stream_until(k)` applies micro-batches of updates with
+  seq < k (the reference's breakpoint mechanism, graph_sketch_driver.h:141-191);
+- per batch the sketch state advances by a *linear merge* with the batch
+  delta (sketches are additive), so ingest is incremental and replayable;
+- an eager driver-side DSU answers connectivity queries instantly during
+  insert-dominant stretches; it is invalidated when a batch deletes a current
+  spanning-forest edge and repopulated by the next Boruvka query — exactly
+  the reference's caching contract (has_cached_query / prep_query);
+- every batch optionally commits a checkpoint snapshot (state + seq
+  watermark + per-partition metrics); `GraphStreamDriver.resume` continues
+  from the latest snapshot (north_rule resumability).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphzeppelin_spark.operators.sketch_cc import SketchCC
+from graphzeppelin_spark.sketch.dsu import NumpyDSU
+from graphzeppelin_spark.streaming.checkpoint import CheckpointStore
+
+
+class GraphStreamDriver:
+    def __init__(
+        self,
+        spark: SparkSession,
+        stream: DataFrame,
+        num_vertices: int,
+        seed: int = 42,
+        variant: str = "cubesketch",
+        checkpoint_dir: str | None = None,
+        eager: bool = True,
+        eager_batch_limit: int = 500_000,
+    ):
+        self.spark = spark
+        self.stream = stream
+        self.num_vertices = num_vertices
+        self.alg = SketchCC(spark, num_vertices, seed=seed, variant=variant)
+        self.state: DataFrame | None = None
+        self.applied_seq = 0
+        self.store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
+        self.seed = seed
+        self.variant = variant
+        # eager cache (reference pre_insert / dsu_valid)
+        self.eager = eager
+        self.eager_batch_limit = eager_batch_limit
+        self._dsu: NumpyDSU | None = NumpyDSU(num_vertices) if eager else None
+        self._forest: set[tuple[int, int]] = set()
+        self._dsu_valid = eager
+        self._forest_rows: list[tuple[int, int]] = []
+
+    # ----------------------------------------------------------------- ingest
+
+    def process_stream_until(self, seq: int, batch_size: int | None = None) -> None:
+        """Apply updates with applied_seq <= `seq` < seq, in micro-batches."""
+        if seq <= self.applied_seq:
+            return
+        lo = self.applied_seq
+        if batch_size is None:
+            self._apply_batch(lo, seq)
+        else:
+            for b_lo in range(lo, seq, batch_size):
+                self._apply_batch(b_lo, min(b_lo + batch_size, seq))
+        self.applied_seq = seq
+
+    def _apply_batch(self, lo: int, hi: int) -> None:
+        batch = self.stream.where((F.col("seq") >= lo) & (F.col("seq") < hi))
+        delta = self.alg.build_state(batch)
+        if self.state is None:
+            new_state = delta
+        else:
+            new_state = self.alg.merge_states(self.state, delta)
+        if self.store is not None:
+            snap = self.store.commit(
+                new_state,
+                {
+                    "seed": self.seed,
+                    "num_vertices": self.num_vertices,
+                    "variant": self.variant,
+                    "seq_watermark": hi,
+                    "dsu_valid": False,  # reheat always requires a fresh query
+                },
+            )
+            new_state, _ = self.store.read(snap)  # clean lineage from disk
+        else:
+            new_state = new_state.localCheckpoint(eager=True)
+        if self.state is not None:
+            self.state.unpersist()
+        self.state = new_state.persist()
+        if self.eager:
+            self._eager_maintain(batch)
+
+    def _eager_maintain(self, batch: DataFrame) -> None:
+        """Reference pre_insert analog on a whole micro-batch: insert edges
+        union-found eagerly; a delete of a current forest edge invalidates the
+        cached labeling. Skipped (cache invalidated) for oversized batches."""
+        if not self._dsu_valid:
+            return
+        rows = (
+            batch.select(
+                "type",
+                F.least("src", "dst").alias("lo"),
+                F.greatest("src", "dst").alias("hi"),
+            )
+            .where(F.col("lo") != F.col("hi"))
+            .limit(self.eager_batch_limit + 1)
+            .collect()
+        )
+        if len(rows) > self.eager_batch_limit:
+            self._dsu_valid = False
+            return
+        for r in rows:  # seq order within batch does not matter for inserts
+            e = (r["lo"], r["hi"])
+            if r["type"] == 0:
+                ra, rb = self._dsu.find(e[0]), self._dsu.find(e[1])
+                if ra != rb:
+                    lo_r, hi_r = (ra, rb) if ra < rb else (rb, ra)
+                    self._dsu.parent[hi_r] = lo_r
+                    self._forest.add(e)
+            else:
+                if e in self._forest:
+                    self._dsu_valid = False
+                    return
+
+    # ---------------------------------------------------------------- queries
+
+    def connected_components(self) -> np.ndarray:
+        """Exact labeling (component = min member id). Uses the eager cache when
+        valid (no sketch work at all — the reference's cached-query fast path);
+        otherwise runs distributed Boruvka and repopulates the cache."""
+        if self.eager and self._dsu_valid:
+            return self._dsu.labels()
+        if self.state is None:
+            return np.arange(self.num_vertices, dtype=np.int64)
+        labels, forest = self.alg.boruvka(self.state)
+        if self.eager:
+            self._dsu = NumpyDSU(self.num_vertices)
+            self._dsu.parent = labels.copy()
+            self._forest = {
+                (int(min(s, d)), int(max(s, d))) for s, d in forest
+            }
+            self._dsu_valid = True
+        self._last_forest = forest
+        return labels
+
+    def spanning_forest(self) -> np.ndarray:
+        if self.state is None:
+            return np.empty((0, 2), dtype=np.int64)
+        _, forest = self.alg.boruvka(self.state)
+        return forest
+
+    def point_query(self, a: int, b: int) -> bool:
+        labels = self.connected_components()
+        return bool(labels[a] == labels[b])
+
+    def num_components(self) -> int:
+        return int(len(np.unique(self.connected_components())))
+
+    # ----------------------------------------------------------------- resume
+
+    @classmethod
+    def resume(
+        cls,
+        spark: SparkSession,
+        stream: DataFrame,
+        checkpoint_dir: str,
+        eager: bool = True,
+    ) -> "GraphStreamDriver":
+        """Reconstruct a driver from the latest snapshot; continues the stream
+        from the committed seq watermark (reference construct_from_serialized_data:
+        reheated state, dsu_valid=false)."""
+        store = CheckpointStore(spark, checkpoint_dir)
+        state, meta = store.read()
+        drv = cls(
+            spark,
+            stream,
+            num_vertices=meta["num_vertices"],
+            seed=meta["seed"],
+            variant=meta["variant"],
+            checkpoint_dir=checkpoint_dir,
+            eager=eager,
+        )
+        drv.state = state.persist()
+        drv.applied_seq = meta["seq_watermark"]
+        drv._dsu_valid = False  # reheat forces a fresh query
+        return drv

@@ -1,0 +1,99 @@
+"""Streaming driver: breakpoints, query-during-stream, eager cache invalidation,
+checkpoint/resume (mirrors reference test/cc_alg_test.cpp streaming suites)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from graphzeppelin_spark import oracle
+from graphzeppelin_spark.sources.generators import (
+    dynamic_erdos_stream,
+    multiples_graph_stream,
+)
+from graphzeppelin_spark.streaming.driver import GraphStreamDriver
+from tests.conftest import stream_df
+
+
+def test_query_during_stream_every_25pct(spark):
+    """Reference cc_alg_test.cpp:178-221: query at breakpoints, resume streaming."""
+    n = 128
+    s = dynamic_erdos_stream(num_vertices=n, density=0.02, rounds=2, seed=13)
+    drv = GraphStreamDriver(spark, stream_df(spark, s), n, seed=3, eager=False)
+    for frac in (0.25, 0.5, 0.75, 1.0):
+        upto = int(len(s) * frac)
+        drv.process_stream_until(upto)
+        expected = oracle.connected_components(oracle.live_edges(s, n, upto), n)
+        got = drv.connected_components()
+        np.testing.assert_array_equal(got, expected)
+
+
+def test_eager_cache_insert_only(spark):
+    """Insert-only stream: every query served from the eager DSU (no Boruvka)."""
+    n = 256
+    s = multiples_graph_stream(n)
+    drv = GraphStreamDriver(spark, stream_df(spark, s), n, seed=5, eager=True)
+    drv.process_stream_until(len(s))
+    assert drv._dsu_valid
+    expected = oracle.connected_components(oracle.live_edges(s, n), n)
+    np.testing.assert_array_equal(drv.connected_components(), expected)
+
+
+def test_eager_cache_invalidated_by_forest_delete(spark):
+    """Reference cc_alg_test.cpp:223-263: deleting a spanning-forest edge must
+    invalidate the cache; the next query recomputes correctly via sketches."""
+    import pandas as pd
+
+    n = 64
+    # path 0-1-2-...-9, then delete edge (4,5) -> splits into two chains
+    src = np.arange(9, dtype=np.int64)
+    dst = src + 1
+    ins = pd.DataFrame(
+        {"seq": np.arange(9), "type": 0, "src": src, "dst": dst}
+    )
+    dele = pd.DataFrame({"seq": [9], "type": [1], "src": [4], "dst": [5]})
+    s = pd.concat([ins, dele], ignore_index=True)
+    s["seq"] = s["seq"].astype("int64")
+    s["type"] = s["type"].astype("int32")
+    drv = GraphStreamDriver(spark, stream_df(spark, s), n, seed=7, eager=True)
+    drv.process_stream_until(9)
+    assert drv._dsu_valid
+    assert drv.point_query(0, 9) is True
+    drv.process_stream_until(10)
+    assert not drv._dsu_valid  # forest-edge delete invalidated the cache
+    assert drv.point_query(0, 9) is False  # recomputed via Boruvka
+    assert drv.point_query(0, 4) is True
+    assert drv.point_query(5, 9) is True
+
+
+def test_checkpoint_resume_equality(spark, tmp_path):
+    """Reference cc_alg_test.cpp:97-125: reheated state answers identically."""
+    n = 128
+    s = dynamic_erdos_stream(num_vertices=n, density=0.02, rounds=2, seed=17)
+    ckpt = str(tmp_path / "ckpt")
+    half = len(s) // 2
+    drv = GraphStreamDriver(
+        spark, stream_df(spark, s), n, seed=11, checkpoint_dir=ckpt, eager=False
+    )
+    drv.process_stream_until(half)
+
+    # resume in a "new job" and finish the stream
+    drv2 = GraphStreamDriver.resume(spark, stream_df(spark, s), ckpt, eager=False)
+    assert drv2.applied_seq == half
+    drv2.process_stream_until(len(s))
+    expected = oracle.connected_components(oracle.live_edges(s, n), n)
+    np.testing.assert_array_equal(drv2.connected_components(), expected)
+
+    # snapshot metadata carries per-partition lineage
+    _, meta = drv2.store.read()
+    assert meta["seq_watermark"] == len(s)
+    assert meta["total_rows"] > 0 and len(meta["partitions"]) >= 1
+
+
+def test_micro_batched_ingest_matches_oneshot(spark):
+    n = 128
+    s = dynamic_erdos_stream(num_vertices=n, density=0.03, rounds=3, seed=19)
+    drv = GraphStreamDriver(spark, stream_df(spark, s), n, seed=13, eager=False)
+    drv.process_stream_until(len(s), batch_size=max(1, len(s) // 7))
+    expected = oracle.connected_components(oracle.live_edges(s, n), n)
+    np.testing.assert_array_equal(drv.connected_components(), expected)
