@@ -1,0 +1,127 @@
+"""Text-analysis functions for training-data pipelines — all pure Catalyst
+expressions (JVM-side, codegen'd, no Python), so a DuckDB oracle can compute
+the identical ANSI-SQL formula.
+
+- language-ID: marker-word scoring heuristic (deterministic; a production
+  system would swap in fastText behind the same column contract);
+- quality scoring: length/punctuation/stopword ratios combined;
+- token counting: whitespace tokens and a BPE-ish subword estimate
+  (word-count + ceil(chars/4) blend — the standard cheap token estimator);
+- fingerprinting: md5 over whitespace-normalized lowercase text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker words per language for the heuristic language-ID
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "that", "for"]
+
+
+def _count_word(text: Column, word: str) -> Column:
+    """Occurrences of `word` as a whitespace-delimited token (SQL-portable:
+    filter the token array — same lambda exists in DuckDB as list_filter)."""
+    toks = F.split(F.trim(text), "\\s+")
+    return F.size(F.filter(toks, lambda x: x == F.lit(word)))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (empty string -> 0)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, "\\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Cheap subword-token estimate: max(words, ceil(chars/4)) — the standard
+    ~4-chars-per-token heuristic, floored by the word count."""
+    return F.greatest(token_count(text), F.ceil(F.length(text) / F.lit(4.0)).cast("long"))
+
+
+def punct_ratio(text: Column, digits: int = 6) -> Column:
+    """Fraction of characters that are .,!?;: punctuation."""
+    removed = F.translate(text, ".,!?;:", "")
+    return F.round(
+        (F.length(text) - F.length(removed)) / F.greatest(F.length(text), F.lit(1)),
+        digits,
+    )
+
+
+def stopword_ratio(text: Column, digits: int = 6) -> Column:
+    total = token_count(text)
+    sw = None
+    for w in STOPWORDS:
+        c = _count_word(F.lower(text), w)
+        sw = c if sw is None else sw + c
+    return F.round(sw / F.greatest(total, F.lit(1)), digits)
+
+
+def quality_score(text: Column, digits: int = 6) -> Column:
+    """Blend of signals in [0,1]: longer docs with moderate stopword density
+    and low punctuation noise score higher (weights arbitrary but fixed)."""
+    length_term = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    sw = stopword_ratio(text, digits=9)
+    sw_term = F.lit(1.0) - F.abs(sw - F.lit(0.4)) / F.lit(0.4)
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text, digits=9) * 10, F.lit(1.0))
+    return F.round(
+        0.4 * length_term + 0.3 * F.greatest(sw_term, F.lit(0.0)) + 0.3 * punct_term,
+        digits,
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Deterministic marker-word language guess; ties break by fixed language
+    order (en, de, fr, es, zh); no markers -> 'und'."""
+    lowered = F.lower(text)
+    scores = {
+        lang: sum_cols([_count_word(lowered, w) for w in words])
+        for lang, words in LANG_MARKERS.items()
+    }
+    order = ["en", "de", "fr", "es", "zh"]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate reversed so earlier languages win ties
+    for lang in reversed(order):
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def sum_cols(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """md5 of lowercase whitespace-collapsed text — the dedup-normal form."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(text)), "\\s+", " "))
+
+
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per doc with every text-analysis signal (the pipeline's
+    feature table)."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subword_tokens"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,170 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from graphzeppelin_spark.functions.text import text_profile
+from graphzeppelin_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+    simhash_signatures,
+)
+from graphzeppelin_spark.operators.multimodal import (
+    decode_image_meta,
+    encode_fake_image,
+    resize_images,
+    sample_frames,
+)
+from graphzeppelin_spark.operators.similarity import cosine_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "a completely different sentence about spark dataframes and shuffles",
+        "graph sketches compress edge streams into logarithmic space buckets",
+        "pandas udfs move arrow batches between the jvm and python workers",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t))
+        rows.append((i + 100, t))  # exact duplicate
+        rows.append((i + 200, t[: int(len(t) * 0.8)]))  # near duplicate (prefix)
+    rows.append((999, "zzz unrelated singleton document xyz"))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])).persist()
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_dedup_groups(docs).collect()
+    dup_groups = [g for g in groups if g["n_docs"] > 1]
+    assert len(dup_groups) == 4
+    assert all(g["n_docs"] == 2 for g in dup_groups)
+
+
+def _expected_jaccard_pairs(docs_pdf, threshold, n=3):
+    sets = {
+        r.doc_id: {r.text[i : i + n] for i in range(max(len(r.text) - n + 1, 1))}
+        for r in docs_pdf.itertuples()
+    }
+    out = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni and inter / uni >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, docs):
+    pdf = docs.toPandas()
+    expected = _expected_jaccard_pairs(pdf, 0.5)
+    got = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    assert got == expected
+    assert len(got) >= 8  # exact dups + prefix near-dups
+
+
+def test_minhash_equals_exact_pairs(spark, docs):
+    exact = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    mh = {(r.doc_a, r.doc_b) for r in minhash_dedup_pairs(docs, 0.5).collect()}
+    assert mh == exact  # verified candidates; whp-1 recall at this threshold
+
+
+def test_simhash_exact_dups_zero_distance(spark, docs):
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    for i in range(4):
+        assert sigs[i] == sigs[i + 100]
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_dedup_pairs(docs, max_hamming=8).collect()}
+    for i in range(4):
+        assert (i, i + 100) in pairs
+    assert (0, 1) not in pairs  # unrelated docs stay apart
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i in range(40):
+        rows.append((i, base[i].astype(np.float32).tolist()))
+        if i < 5:  # near-duplicates of the first five
+            rows.append((i + 100, (base[i] + 0.01 * rng.standard_normal(16)).astype(np.float32).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").persist()
+
+
+def test_embedding_neardup(spark, embeddings):
+    pairs = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(embeddings, 0.99).collect()}
+    assert pairs == {(i, i + 100) for i in range(5)}
+
+
+def test_cosine_topk_vs_numpy(spark, embeddings):
+    pdf = embeddings.toPandas()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in pdf.itertuples()}
+    queries = embeddings.where(F.col("vec_id") < 3)
+    got = cosine_topk(embeddings, queries, k=3).toPandas()
+    for qid in range(3):
+        q = vecs[qid]
+        scores = {
+            vid: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        expected = sorted(scores, key=lambda v: (-round(scores[v], 4), v))[:3]
+        got_n = got[got.query_id == qid].sort_values(
+            ["score", "neighbor_id"], ascending=[False, True]
+        )["neighbor_id"].tolist()
+        assert got_n == expected
+        assert got_n[0] == qid + 100  # the planted near-duplicate ranks first
+
+
+def test_lsh_topk_finds_planted_neighbor(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") < 3)
+    got = lsh_topk(embeddings, queries, k=3, num_tables=12).toPandas()
+    for qid in range(3):
+        rows = got[got.query_id == qid]
+        # the 0.99-cosine planted duplicate must be recalled by LSH
+        assert (qid + 100) in set(rows["neighbor_id"])
+
+
+def test_text_profile(spark, docs):
+    prof = text_profile(docs).toPandas().set_index("doc_id")
+    r = prof.loc[0]
+    assert r["n_tokens"] == 13
+    assert r["n_subword_tokens"] >= r["n_tokens"]
+    assert 0 <= r["quality"] <= 1
+    assert r["lang_pred"] == "en"
+    # fingerprint equals for exact duplicate
+    assert prof.loc[0, "fingerprint"] == prof.loc[100, "fingerprint"]
+    assert prof.loc[999, "punct_ratio"] == 0.0
+
+
+def test_multimodal_roundtrip(spark):
+    rows = [(i, encode_fake_image(i, 16 + i, 8 + i)) for i in range(6)]
+    rows.append((99, b"NOTANIMAGE"))
+    rows.append((98, None))
+    media = spark.createDataFrame(rows, "media_id long, blob binary")
+    meta = decode_image_meta(media).toPandas().set_index("media_id")
+    assert meta.loc[0, "width"] == 16 and meta.loc[0, "height"] == 8
+    assert bool(meta.loc[0, "valid"]) and not bool(meta.loc[99, "valid"])
+    assert not bool(meta.loc[98, "valid"])
+    resized = resize_images(media, 8, 4)
+    meta2 = decode_image_meta(resized).toPandas().set_index("media_id")
+    assert meta2.loc[3, "width"] == 8 and meta2.loc[3, "height"] == 4
+    assert meta2.loc[99].isna()["width"]
+
+
+def test_frame_sampling(spark):
+    blob = bytes(range(256)) * 10  # 2560 bytes = 40 frames of 64
+    media = spark.createDataFrame([(1, blob)], "media_id long, blob binary")
+    frames = sample_frames(media, every_n=10, frame_bytes=64).collect()
+    assert [f["frame_idx"] for f in frames] == [0, 10, 20, 30]
+    assert all(len(f["frame"]) == 64 for f in frames)
