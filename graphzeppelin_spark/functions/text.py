@@ -90,8 +90,8 @@ def language_id(text: Column) -> Column:
     order = ["en", "de", "fr", "es", "zh"]
     best = F.lit("und")
     best_score = F.lit(0)
-    # iterate reversed so earlier languages win ties
-    for lang in reversed(order):
+    # earlier languages win ties: later ones must strictly exceed to displace
+    for lang in order:
         s = scores[lang]
         cond = s > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
