@@ -141,7 +141,7 @@ class SketchCC:
             for pdf in _concat(batches):
                 verts = pdf["vertex"].to_numpy(np.int64)
                 uniq, inv = np.unique(verts, return_inverse=True)
-                sm = SketchMatrix(geom, len(uniq))
+                sm = SketchMatrix(geom, len(uniq), reuse_slot="build")
                 sm.update_many(
                     inv,
                     pdf["eid"].to_numpy(np.uint64),
@@ -160,8 +160,10 @@ class SketchCC:
             for pdf in _concat(batches):
                 verts = pdf["vertex"].to_numpy(np.int64)
                 uniq, inv = np.unique(verts, return_inverse=True)
-                sm = SketchMatrix.from_bytes_rows(geom, pdf["sketch"].tolist())
-                groups, combined = sm.merged_by_group(inv)
+                sm = SketchMatrix.from_bytes_rows(
+                    geom, pdf["sketch"].tolist(), reuse_slot="decode"
+                )
+                groups, combined = sm.merged_by_group(inv, reuse_slot="merge")
                 out = SketchMatrix(geom, len(uniq), combined)
                 yield pd.DataFrame({"vertex": uniq, "sketch": out.to_bytes_rows()})
 
@@ -230,7 +232,9 @@ class SketchCC:
 
         def _sample(batches):
             for pdf in _concat(batches):
-                sm = SketchMatrix.from_bytes_rows(geom, pdf["sketch"].tolist())
+                sm = SketchMatrix.from_bytes_rows(
+                    geom, pdf["sketch"].tolist(), reuse_slot="decode"
+                )
                 status, eid = sm.sample_many(0)
                 eid[status != GOOD] = 0
                 yield pd.DataFrame(
@@ -267,12 +271,12 @@ class SketchCC:
         def _partial(batches):
             for pdf in _concat(batches):
                 roots = pdf["root"].to_numpy(np.int64)
-                blobs = pdf["sketch"].tolist()
-                arr = np.empty((len(blobs), slice_nbuckets, 2), dtype=np.uint64)
-                for i, b in enumerate(blobs):
-                    full = np.frombuffer(b, dtype=np.uint64)
-                    arr[i, :-1] = full[start // 8 : (start + width) // 8].reshape(-1, 2)
-                    arr[i, -1] = full[det_off // 8 : det_off // 8 + 2]
+                full = SketchMatrix.from_bytes_rows(
+                    geom, pdf["sketch"].tolist(), reuse_slot="decode"
+                ).buckets
+                arr = np.empty((len(full), slice_nbuckets, 2), dtype=np.uint64)
+                arr[:, :-1] = full[:, start // 16 : (start + width) // 16]
+                arr[:, -1] = full[:, det_off // 16]
                 uniq, inv = np.unique(roots, return_inverse=True)
                 out = np.zeros((len(uniq), slice_nbuckets, 2), dtype=np.uint64)
                 np.add.at(out, inv, arr)
@@ -331,6 +335,44 @@ class SketchCC:
         else:
             labels, _ = self.boruvka(state_or_labels)
         return bool(labels[a] == labels[b])
+
+    def k_spanning_forests(self, state: DataFrame, k: int) -> list[np.ndarray]:
+        """k edge-disjoint spanning forests (reference query type
+        KSPANNINGFORESTS, cc_sketch_alg.h:60-63 / exhaustive_sample use).
+
+        Round i extracts a forest from the current state, then *deletes* its
+        edges via a linear delta merge — valid because the sketch is an
+        invertible aggregate, exactly how the reference peels forests."""
+        spark = self.spark
+        forests: list[np.ndarray] = []
+        cur = state
+        for _ in range(k):
+            _, forest = self.boruvka(cur)
+            forests.append(forest)
+            if len(forest) == 0:
+                break
+            del_stream = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "seq": np.arange(len(forest), dtype=np.int64),
+                        "type": np.ones(len(forest), dtype=np.int32),
+                        "src": forest[:, 0],
+                        "dst": forest[:, 1],
+                    }
+                )
+            )
+            delta = self.build_state(del_stream)
+            cur = self.merge_states(cur, delta).localCheckpoint(eager=True)
+        return forests
+
+    def component_sets(self, state: DataFrame) -> DataFrame:
+        """(component, members: sorted array) — reference get_component_sets
+        (return_types.cpp:23-30) as a groupBy + collect_list."""
+        cc = self.connected_components(state)
+        return (
+            cc.groupBy("component")
+            .agg(F.sort_array(F.collect_list("v")).alias("members"))
+        )
 
 
 class _SliceGeom:

@@ -57,9 +57,13 @@ _SCRATCH: dict[tuple[int, int], tuple[np.ndarray, ...]] = {}
 
 
 def _scratch(b: int, c: int) -> tuple[np.ndarray, ...]:
-    """Per-process scratch buffers (H, T, DEPTH, IDX, VAL) for update_many."""
-    key = (b, c)
-    if key not in _SCRATCH:
+    """Per-process scratch buffers (H, T, DEPTH, IDX, VAL) for update_many.
+
+    Keyed by column count only and sized to the largest chunk seen, so
+    long-lived Spark python workers pay the first-touch page faults exactly
+    once, not per task (the faults dominate cold-task latency otherwise)."""
+    cur = _SCRATCH.get(c)
+    if cur is None or cur[0].shape[0] < b:
         if len(_SCRATCH) > 4:  # bound residency in long-lived executors
             _SCRATCH.clear()
         H = np.empty((b, c), dtype=np.uint64)
@@ -67,8 +71,12 @@ def _scratch(b: int, c: int) -> tuple[np.ndarray, ...]:
         DEPTH = np.empty((b, c), dtype=np.int64)
         IDX = np.empty((b, c), dtype=np.int64)
         VAL = np.empty(b * c, dtype=np.uint64)
-        _SCRATCH[key] = (H, T, DEPTH, IDX, VAL)
-    return _SCRATCH[key]
+        # touch now so the cost is attributable and paid once
+        for a in (H, T, DEPTH, IDX, VAL):
+            a.fill(0)
+        _SCRATCH[c] = (H, T, DEPTH, IDX, VAL)
+        cur = _SCRATCH[c]
+    return tuple(a[:b] if a.ndim == 2 else a[: b * c] for a in cur)
 
 
 def splitmix64(x: np.ndarray, seed: int | np.uint64) -> np.ndarray:
@@ -154,17 +162,50 @@ class SketchGeometry:
         return np.uint64(self.seed) ^ np.uint64(0xC3A5C85C97CB3127)
 
 
+_BUF_CACHE: dict[tuple[str, int], np.ndarray] = {}
+
+
+def cached_zero_buckets(num_buckets: int, rows: int, slot: str) -> np.ndarray:
+    """Per-process reusable zeroed (rows, num_buckets, 2) buffer.
+
+    Fresh np.zeros per Spark task page-faults gigabytes per stage and the
+    kernel serializes page allocation, flattening multi-core scaling; a
+    worker-resident buffer is faulted once and memset per task. Contract:
+    at most ONE live matrix per (slot, num_buckets) per process — callers in
+    the hot paths (build/decode/merge) each use their own slot and drop the
+    matrix before the next task."""
+    key = (slot, num_buckets)
+    buf = _BUF_CACHE.get(key)
+    if buf is None or buf.shape[0] < rows:
+        if len(_BUF_CACHE) > 8:
+            _BUF_CACHE.clear()
+        buf = np.empty((rows, num_buckets, 2), dtype=np.uint64)
+        _BUF_CACHE[key] = buf
+    view = buf[:rows]
+    view.fill(0)
+    return view
+
+
 class SketchMatrix:
     """A batch of sketches: rows = local vertex slots, columns = buckets.
 
     buckets: (num_rows, num_buckets, 2) uint64 — [..., 0] = alpha, [..., 1] = gamma.
     """
 
-    def __init__(self, geom: SketchGeometry, num_rows: int, buckets: np.ndarray | None = None):
+    def __init__(
+        self,
+        geom: SketchGeometry,
+        num_rows: int,
+        buckets: np.ndarray | None = None,
+        reuse_slot: str | None = None,
+    ):
         self.geom = geom
         self.num_rows = num_rows
         if buckets is None:
-            buckets = np.zeros((num_rows, geom.num_buckets, 2), dtype=np.uint64)
+            if reuse_slot is not None:
+                buckets = cached_zero_buckets(geom.num_buckets, num_rows, reuse_slot)
+            else:
+                buckets = np.zeros((num_rows, geom.num_buckets, 2), dtype=np.uint64)
         self.buckets = buckets
 
     # -- update ------------------------------------------------------------
@@ -198,6 +239,15 @@ class SketchMatrix:
             sgn_all = None
         else:
             sgn_all = np.asarray(signs, dtype=np.int64).astype(np.uint64)  # -1 wraps
+        # process updates grouped by row so each row's bucket region stays
+        # cache-resident through its block — the scatter is otherwise
+        # DRAM-latency-bound and ~3x slower (order is irrelevant: commutative)
+        if len(rows) > 1 and np.any(np.diff(rows) < 0):
+            order = np.argsort(rows, kind="stable")
+            rows = rows[order]
+            x_all = x_all[order]
+            if sgn_all is not None:
+                sgn_all = sgn_all[order]
         alpha = self.buckets[..., 0].reshape(-1)
         gamma = self.buckets[..., 1].reshape(-1)
         nb = g.num_buckets
@@ -264,7 +314,9 @@ class SketchMatrix:
         """buckets[dst] += other.buckets[src] (bucket-wise additive merge)."""
         np.add.at(self.buckets, np.asarray(dst_rows), other.buckets[np.asarray(src_rows)])
 
-    def merged_by_group(self, groups: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def merged_by_group(
+        self, groups: np.ndarray, reuse_slot: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Additively combine rows sharing a group key.
 
         Returns (unique_groups, combined buckets (g, num_buckets, 2)).
@@ -272,7 +324,10 @@ class SketchMatrix:
         """
         groups = np.asarray(groups)
         uniq, inv = np.unique(groups, return_inverse=True)
-        out = np.zeros((len(uniq),) + self.buckets.shape[1:], dtype=np.uint64)
+        if reuse_slot is not None:
+            out = cached_zero_buckets(self.buckets.shape[1], len(uniq), reuse_slot)
+        else:
+            out = np.zeros((len(uniq),) + self.buckets.shape[1:], dtype=np.uint64)
         np.add.at(out, inv, self.buckets)
         return uniq, out
 
@@ -371,16 +426,47 @@ class SketchMatrix:
         return out
 
     # -- serialization -----------------------------------------------------
+    #
+    # Sparse format: the sketch of a degree-d vertex touches only
+    # ~num_columns * ceil(log d) buckets, so on power-law graphs the dense
+    # bucket matrix is overwhelmingly zero. Rows serialize as
+    #   <nnz: uint32> <idx: int32[nnz]> <alpha: u64[nnz]> <gamma: u64[nnz]>
+    # cutting state shuffle/checkpoint bytes 10-30x vs dense — the dominant
+    # ingest cost at scale is state movement, not hashing.
 
     def to_bytes_rows(self) -> list[bytes]:
-        return [self.buckets[i].tobytes() for i in range(self.num_rows)]
+        a = self.buckets[..., 0]
+        g = self.buckets[..., 1]
+        nz_mask = (a | g) != 0
+        out = []
+        for i in range(self.num_rows):
+            idx = np.nonzero(nz_mask[i])[0].astype(np.int32)
+            out.append(
+                np.uint32(len(idx)).tobytes()
+                + idx.tobytes()
+                + a[i, idx].tobytes()
+                + g[i, idx].tobytes()
+            )
+        return out
 
     @classmethod
-    def from_bytes_rows(cls, geom: SketchGeometry, blobs: "list[bytes] | np.ndarray") -> "SketchMatrix":
+    def from_bytes_rows(
+        cls,
+        geom: SketchGeometry,
+        blobs: "list[bytes] | np.ndarray",
+        reuse_slot: str | None = None,
+    ) -> "SketchMatrix":
         n = len(blobs)
-        buckets = np.empty((n, geom.num_buckets, 2), dtype=np.uint64)
+        if reuse_slot is not None:
+            buckets = cached_zero_buckets(geom.num_buckets, n, reuse_slot)
+        else:
+            buckets = np.zeros((n, geom.num_buckets, 2), dtype=np.uint64)
         for i, b in enumerate(blobs):
-            buckets[i] = np.frombuffer(b, dtype=np.uint64).reshape(geom.num_buckets, 2)
+            nnz = int(np.frombuffer(b, dtype=np.uint32, count=1)[0])
+            idx = np.frombuffer(b, dtype=np.int32, count=nnz, offset=4)
+            vals = np.frombuffer(b, dtype=np.uint64, count=2 * nnz, offset=4 + 4 * nnz)
+            buckets[i, idx, 0] = vals[:nnz]
+            buckets[i, idx, 1] = vals[nnz:]
         return cls(geom, n, buckets)
 
 

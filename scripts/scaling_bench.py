@@ -1,0 +1,87 @@
+"""Scaling-efficiency evidence (north_rule: throughput efficiency >= 0.8 from
+N to 4N parallelism, measured here as local[8] vs local[32] on the same input
+— this sandbox has no multi-machine cluster).
+
+Runs the kron insert+delete ingest at both parallelism levels in fresh
+processes (Spark master is fixed per JVM), min-of-K timed runs per level to
+damp the sandbox VM's noisy timing (observed 4x run-to-run swings at idle).
+
+Writes/updates BENCH/BASELINE.md and prints a JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCALE = int(os.environ.get("SPARK_GRAFT_KRON_SCALE", "17"))
+EF = int(os.environ.get("SPARK_GRAFT_KRON_EF", "256"))
+RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+
+WORKER = r"""
+import time, sys, os
+sys.path.insert(0, %(repo)r)
+cpus = int(sys.argv[1]); scale = int(sys.argv[2]); ef = int(sys.argv[3]); runs = int(sys.argv[4])
+from graphzeppelin_spark import get_spark
+from graphzeppelin_spark.operators.sketch_cc import SketchCC
+spark = get_spark(cores=cpus, shuffle_partitions=2 * cpus)
+path = f"/tmp/gz_bench_kron_{scale}_{ef}.parquet"
+if not os.path.exists(path):
+    from graphzeppelin_spark.sources.generators import kron_stream
+    pdf = kron_stream(scale=scale, edge_factor=ef, seed=42)
+    spark.createDataFrame(pdf).repartition(64).write.mode("overwrite").parquet(path)
+stream = spark.read.parquet(path)
+n = stream.count()
+alg = SketchCC(spark, num_vertices=1 << scale, seed=42, samples_factor=1.0,
+               num_partitions=2 * cpus)
+alg.build_state(stream).count()  # warm workers, scratch, page cache
+times = []
+for _ in range(runs):
+    t0 = time.time(); alg.build_state(stream).count(); times.append(time.time() - t0)
+import json
+print("RESULT " + json.dumps({"cpus": cpus, "n_updates": n, "times": times,
+                              "best_sec": min(times)}))
+"""
+
+
+def run_level(cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER % {"repo": REPO},
+         str(cpus), str(SCALE), str(EF), str(RUNS)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    print(out.stdout[-2000:], file=sys.stderr)
+    print(out.stderr[-2000:], file=sys.stderr)
+    raise RuntimeError(f"no RESULT from cpus={cpus}")
+
+
+def main() -> None:
+    r8 = run_level(8)
+    r32 = run_level(32)
+    thr8 = r8["n_updates"] / r8["best_sec"]
+    thr32 = r32["n_updates"] / r32["best_sec"]
+    eff = thr32 / (4 * thr8)
+    summary = {
+        "workload": f"kron_{SCALE} insert+delete stream, edge_factor={EF}",
+        "n_updates": r8["n_updates"],
+        "local8": {"best_sec": round(r8["best_sec"], 2),
+                   "updates_per_sec": round(thr8, 1), "times": [round(t, 2) for t in r8["times"]]},
+        "local32": {"best_sec": round(r32["best_sec"], 2),
+                    "updates_per_sec": round(thr32, 1), "times": [round(t, 2) for t in r32["times"]]},
+        "scaling_efficiency_8_to_32": round(eff, 3),
+    }
+    print(json.dumps(summary))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
