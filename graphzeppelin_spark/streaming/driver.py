@@ -57,6 +57,9 @@ class GraphStreamDriver:
         self._forest: set[tuple[int, int]] = set()
         self._dsu_valid = eager
         self._forest_rows: list[tuple[int, int]] = []
+        # track_insertions analog (reference tools/process_stream.cpp:27-61):
+        # per-batch ingest metrics, also embedded in checkpoint metadata
+        self.metrics: list[dict] = []
 
     # ----------------------------------------------------------------- ingest
 
@@ -73,6 +76,9 @@ class GraphStreamDriver:
         self.applied_seq = seq
 
     def _apply_batch(self, lo: int, hi: int) -> None:
+        import time
+
+        t0 = time.time()
         batch = self.stream.where((F.col("seq") >= lo) & (F.col("seq") < hi))
         delta = self.alg.build_state(batch)
         if self.state is None:
@@ -88,6 +94,7 @@ class GraphStreamDriver:
                     "variant": self.variant,
                     "seq_watermark": hi,
                     "dsu_valid": False,  # reheat always requires a fresh query
+                    "ingest_metrics": self.metrics[-20:],
                 },
             )
             new_state, _ = self.store.read(snap)  # clean lineage from disk
@@ -96,6 +103,15 @@ class GraphStreamDriver:
         if self.state is not None:
             self.state.unpersist()
         self.state = new_state.persist()
+        wall = time.time() - t0
+        self.metrics.append(
+            {
+                "seq_lo": lo,
+                "seq_hi": hi,
+                "wall_s": round(wall, 3),
+                "updates_per_sec": round((hi - lo) / max(wall, 1e-9), 1),
+            }
+        )
         if self.eager:
             self._eager_maintain(batch)
 
