@@ -267,6 +267,36 @@ def q_rel_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets coverage: order counts/totals by (status, priority)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def q_rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT coverage: customers with BUILDING segment vs with orders
+    over 100k — (custkey, bucket) where bucket tags which set operation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    big = (
+        o.where(F.col("o_totalprice") > 100000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    both = building.intersect(big).select("k", F.lit("both").alias("bucket"))
+    only_b = building.exceptAll(big).select("k", F.lit("building_only").alias("bucket"))
+    return both.unionAll(only_b)
+
+
 def q_rel_window_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function coverage: latest event per user."""
     from pyspark.sql import Window
@@ -309,6 +339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_scan_agg": q_rel_scan_agg,
         "rel_join_topk": q_rel_join_topk,
         "rel_window_last_event": q_rel_window_last_event,
+        "rel_cube_agg": q_rel_cube_agg,
+        "rel_setops": q_rel_setops,
     }
 
 
@@ -546,6 +578,18 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey
 ORDER BY revenue DESC, o_orderkey ASC
 LIMIT 10
+""",
+        "rel_cube_agg": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+        "rel_setops": """
+WITH building AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 100000)
+SELECT k, 'both' AS bucket FROM (SELECT k FROM building INTERSECT SELECT k FROM big)
+UNION ALL
+SELECT k, 'building_only' AS bucket FROM (SELECT k FROM building EXCEPT SELECT k FROM big)
 """,
         "rel_window_last_event": """
 WITH ranked AS (

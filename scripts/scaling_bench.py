@@ -21,6 +21,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCALE = int(os.environ.get("SPARK_GRAFT_KRON_SCALE", "17"))
 EF = int(os.environ.get("SPARK_GRAFT_KRON_EF", "256"))
 RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+LEVELS = [
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
+]
 
 WORKER = r"""
 import time, sys, os
@@ -63,23 +66,26 @@ def run_level(cpus: int) -> dict:
 
 
 def main() -> None:
-    r8 = run_level(8)
-    r32 = run_level(32)
-    thr8 = r8["n_updates"] / r8["best_sec"]
-    thr32 = r32["n_updates"] / r32["best_sec"]
-    eff = thr32 / (4 * thr8)
+    lo, hi = LEVELS
+    r_lo = run_level(lo)
+    r_hi = run_level(hi)
+    thr_lo = r_lo["n_updates"] / r_lo["best_sec"]
+    thr_hi = r_hi["n_updates"] / r_hi["best_sec"]
+    eff = thr_hi / ((hi / lo) * thr_lo)
     summary = {
         "workload": f"kron_{SCALE} insert+delete stream, edge_factor={EF}",
-        "n_updates": r8["n_updates"],
-        "local8": {"best_sec": round(r8["best_sec"], 2),
-                   "updates_per_sec": round(thr8, 1), "times": [round(t, 2) for t in r8["times"]]},
-        "local32": {"best_sec": round(r32["best_sec"], 2),
-                    "updates_per_sec": round(thr32, 1), "times": [round(t, 2) for t in r32["times"]]},
-        "scaling_efficiency_8_to_32": round(eff, 3),
+        "n_updates": r_lo["n_updates"],
+        f"local{lo}": {"best_sec": round(r_lo["best_sec"], 2),
+                       "updates_per_sec": round(thr_lo, 1),
+                       "times": [round(t, 2) for t in r_lo["times"]]},
+        f"local{hi}": {"best_sec": round(r_hi["best_sec"], 2),
+                       "updates_per_sec": round(thr_hi, 1),
+                       "times": [round(t, 2) for t in r_hi["times"]]},
+        f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
     }
     print(json.dumps(summary))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"scaling_{lo}_{hi}.json"), "w") as f:
         json.dump(summary, f, indent=1)
 
 
