@@ -141,6 +141,15 @@ def q_spanning_forest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alg.spanning_forest(alg.build_state(stream))
 
 
+def q_degrees_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree table via the explicit two-stage skew-salted aggregation."""
+    from graphzeppelin_spark.functions.skew import salted_degrees
+
+    return salted_degrees(_chain_edges(spark, sf_dir)).select(
+        "v", F.col("degree").cast("long").alias("degree")
+    )
+
+
 def q_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Toggle-stream semantics on the events table: live (user, event_type)
     pairs = seen an odd number of times (the reference's stream model)."""
@@ -327,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_circulant": q_triangle_count,
         "triangles_per_vertex_circulant": q_triangles_per_vertex,
         "spanning_forest_chain": q_spanning_forest_chain,
+        "degrees_salted_chain": q_degrees_salted,
         "stream_parity_events": q_stream_parity,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -526,6 +536,14 @@ SELECT v, count(*) AS tri FROM flat GROUP BY v
         "spanning_forest_chain": f"""
 SELECT c_custkey - 1 AS src, c_custkey AS dst
 FROM customer WHERE c_custkey % {CHAIN_MOD} <> 0
+""",
+        "degrees_salted_chain": f"""
+WITH edges AS (
+  SELECT c_custkey - 1 AS src, c_custkey AS dst
+  FROM customer WHERE c_custkey % {CHAIN_MOD} <> 0
+),
+bi AS (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)
+SELECT v, count(*) AS degree FROM bi GROUP BY v
 """,
         "stream_parity_events": """
 SELECT user_id, event_type FROM events
