@@ -87,8 +87,17 @@ def connected_components_df(
     verts = vertices if vertices is not None else vertices_of(edges)
     cur = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).distinct()
     cur = cur.localCheckpoint(eager=True) if checkpoint_each_round else cur.persist()
-    cur_count = cur.count()
 
+    def _stats(df: DataFrame) -> tuple[int, int]:
+        # one aggregate job: (row count, order-insensitive content hash) —
+        # equal stats <=> equal edge set whp; replaces a count + exceptAll join
+        r = df.agg(
+            F.count("*").alias("c"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return int(r["c"]), int(r["h"] or 0)
+
+    cur_stats = _stats(cur)
     for _ in range(max_iters):
         stepped = _small_star(_large_star(cur))
         stepped = (
@@ -96,13 +105,11 @@ def connected_components_df(
             if checkpoint_each_round
             else stepped.persist()
         )
-        new_count = stepped.count()
-        if new_count == cur_count:
-            diff = stepped.exceptAll(cur).limit(1).count()
-            if diff == 0:
-                cur = stepped
-                break
-        cur, cur_count = stepped, new_count
+        new_stats = _stats(stepped)
+        cur = stepped
+        if new_stats == cur_stats:
+            break
+        cur_stats = new_stats
 
     # converged: `cur` is a star forest (src = component min, dst = member)
     labels = verts.select(F.col("v").cast("long")).join(

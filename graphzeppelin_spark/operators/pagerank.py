@@ -55,6 +55,8 @@ def pagerank_df(
     deg.count()
 
     ranks = deg.select("v", F.lit(1.0 / n).alias("score"), "outdeg").persist()
+    # one-time: if no vertex is dangling, skip the per-iteration mass collect
+    has_dangling = deg.where(F.col("outdeg") == 0).limit(1).count() > 0
     iters = num_iters if num_iters is not None else max_iters
     for _ in range(iters):
         contribs = (
@@ -67,7 +69,9 @@ def pagerank_df(
             .agg(F.sum("contrib").alias("incoming"))
         )
         dangling = (
-            ranks.where(F.col("outdeg") == 0).agg(F.sum("score")).collect()[0][0] or 0.0
+            (ranks.where(F.col("outdeg") == 0).agg(F.sum("score")).collect()[0][0] or 0.0)
+            if has_dangling
+            else 0.0
         )
         new_ranks = (
             deg.join(contribs, deg.v == contribs.v2, "left")
