@@ -127,6 +127,13 @@ def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles_per_vertex_df(_circulant_edges(spark, sf_dir))
 
 
+def q_triangle_count_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as triangle_count_circulant via the CSR-blocked path."""
+    from graphzeppelin_spark.operators.adjacency import triangle_count_csr
+
+    return triangle_count_csr(_circulant_edges(spark, sf_dir))
+
+
 def q_spanning_forest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chains have a unique spanning forest (= every chain edge), so the
     sketch path's forest is exactly comparable."""
@@ -335,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_chain": q_pagerank_chain,
         "triangle_count_circulant": q_triangle_count,
         "triangles_per_vertex_circulant": q_triangles_per_vertex,
+        "triangle_count_csr_circulant": q_triangle_count_csr,
         "spanning_forest_chain": q_spanning_forest_chain,
         "degrees_salted_chain": q_degrees_salted,
         "stream_parity_events": q_stream_parity,
@@ -526,6 +534,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         "labelprop_chain": _CC_CHAIN_ORACLE,
         "pagerank_chain": _pagerank_oracle(),
         "triangle_count_circulant": f"WITH {_CIRC_SQL} SELECT count(*) AS n_triangles FROM tri",
+        "triangle_count_csr_circulant": f"WITH {_CIRC_SQL} SELECT count(*) AS n_triangles FROM tri",
         "triangles_per_vertex_circulant": f"""
 WITH {_CIRC_SQL},
 flat AS (

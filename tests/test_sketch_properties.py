@@ -1,0 +1,92 @@
+"""Property-based sketch-kernel tests (hypothesis): linearity, invertibility,
+sample soundness on arbitrary well-formed update sequences."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from graphzeppelin_spark.sketch.kernel import (
+    FAIL,
+    GOOD,
+    ZERO,
+    SketchGeometry,
+    SketchMatrix,
+)
+
+GEOM = SketchGeometry(num_vertices=64, seed=11)
+
+eids = st.lists(st.integers(min_value=1, max_value=4000), min_size=0, max_size=60)
+
+
+def _support_and_signs(items: list[int]) -> tuple[np.ndarray, np.ndarray, set[int]]:
+    """Turn an arbitrary id list into a well-formed insert/delete sequence:
+    odd occurrence count => final insert survives."""
+    ids, signs, live = [], [], set()
+    for e in items:
+        if e in live:
+            ids.append(e)
+            signs.append(-1)
+            live.discard(e)
+        else:
+            ids.append(e)
+            signs.append(1)
+            live.add(e)
+    return (
+        np.array(ids, dtype=np.uint64),
+        np.array(signs, dtype=np.int64),
+        live,
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(eids)
+def test_sample_sound_and_zero_iff_empty(items):
+    ids, signs, live = _support_and_signs(items)
+    sm = SketchMatrix(GEOM, 1)
+    if len(ids):
+        sm.update_many(np.zeros(len(ids), dtype=np.int64), ids, signs=signs)
+    status, eid = sm.sample_many(0)
+    if not live:
+        assert status[0] == ZERO
+    else:
+        assert status[0] != ZERO
+        if status[0] == GOOD:
+            assert int(eid[0]) in live
+    assert sm.exhaustive_sample(0) <= live
+
+
+@settings(max_examples=25, deadline=None)
+@given(eids, eids)
+def test_merge_equals_concatenation(a_items, b_items):
+    """Linearity: sketch(A) + sketch(B) == sketch(A ++ B), bucket-for-bucket."""
+    a_ids, a_signs, _ = _support_and_signs(a_items)
+    # b's signs computed over the CONCATENATED history so the stream stays well-formed
+    both = a_items + b_items
+    ids, signs, _ = _support_and_signs(both)
+    b_ids, b_signs = ids[len(a_ids):], signs[len(a_ids):]
+
+    sm_a = SketchMatrix(GEOM, 1)
+    sm_b = SketchMatrix(GEOM, 1)
+    sm_all = SketchMatrix(GEOM, 1)
+    if len(a_ids):
+        sm_a.update_many(np.zeros(len(a_ids), dtype=np.int64), a_ids, signs=a_signs)
+    if len(b_ids):
+        sm_b.update_many(np.zeros(len(b_ids), dtype=np.int64), b_ids, signs=b_signs)
+    if len(ids):
+        sm_all.update_many(np.zeros(len(ids), dtype=np.int64), ids, signs=signs)
+    sm_a.merge_rows_from(sm_b, np.array([0]), np.array([0]))
+    assert np.array_equal(sm_a.buckets, sm_all.buckets)
+
+
+@settings(max_examples=25, deadline=None)
+@given(eids)
+def test_full_deletion_restores_zero(items):
+    """Applying the exact inverse of every update restores the zero sketch."""
+    ids, signs, _ = _support_and_signs(items)
+    sm = SketchMatrix(GEOM, 1)
+    if len(ids):
+        sm.update_many(np.zeros(len(ids), dtype=np.int64), ids, signs=signs)
+        sm.update_many(np.zeros(len(ids), dtype=np.int64), ids, signs=-signs)
+    assert (sm.buckets == 0).all()
