@@ -121,6 +121,98 @@ def lsh_buckets(
     )
 
 
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    kmeans_iters: int = 5,
+    sample_stride: int = 1,
+    seed: int = 42,
+) -> np.ndarray:
+    """Mini k-means on a deterministic sample, driver-side.
+
+    The sample is vec_id % sample_stride == 0 (bounded collect); production
+    at 10^12 rows would run the same Lloyd iterations distributively
+    (assign = mapInPandas argmax, recenter = groupBy(centroid).avg) — the
+    index *structure* downstream is identical."""
+    pdf = embeddings.where(F.col("vec_id") % sample_stride == 0).select(
+        "embedding"
+    ).toPandas()
+    x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def _ivf_assign(df: DataFrame, cent: np.ndarray, nprobe: int, id_col: str) -> DataFrame:
+    """(id, centroid) — top-nprobe nearest centroids per vector (nprobe=1 for
+    the corpus side, >1 for multi-probe queries)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("centroid", T.IntegerType(), False),
+        ]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sims = x @ cent.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, nprobe),
+                    "centroid": top.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(_assign, schema=schema)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: corpus vectors
+    bucketed by nearest centroid, queries probe their nprobe nearest lists,
+    exact cosine rerank within the probed lists. The scale path's candidate
+    set is ~nprobe/n_centroids of the corpus per query."""
+    cent = ivf_train_centroids(embeddings, n_centroids=n_centroids, seed=seed)
+    corpus_lists = _ivf_assign(embeddings, cent, 1, "neighbor_id")
+    query_probes = _ivf_assign(queries, cent, nprobe, "query_id")
+    cands = (
+        query_probes.join(corpus_lists, "centroid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = cands.join(
+        _scored(queries, embeddings), ["query_id", "neighbor_id"]
+    ).withColumn("score", F.round("cos", round_digits))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -126,6 +126,16 @@ def test_cosine_topk_vs_numpy(spark, embeddings):
         assert got_n[0] == qid + 100  # the planted near-duplicate ranks first
 
 
+def test_ivf_topk_finds_planted_neighbor(spark, embeddings):
+    from graphzeppelin_spark.operators.similarity import ivf_topk
+
+    queries = embeddings.where(F.col("vec_id") < 3)
+    got = ivf_topk(embeddings, queries, k=3, n_centroids=8, nprobe=3).toPandas()
+    for qid in range(3):
+        rows = got[got.query_id == qid]
+        assert (qid + 100) in set(rows["neighbor_id"])  # 0.99-cosine dup recalled
+
+
 def test_lsh_topk_finds_planted_neighbor(spark, embeddings):
     queries = embeddings.where(F.col("vec_id") < 3)
     got = lsh_topk(embeddings, queries, k=3, num_tables=12).toPandas()
