@@ -42,6 +42,7 @@ from pyspark.sql import types as T
 from graphzeppelin_spark.sketch.dsu import NumpyDSU
 from graphzeppelin_spark.sketch.kernel import (
     GOOD,
+    ZERO,
     SketchGeometry,
     SketchMatrix,
     decode_edges,
@@ -183,12 +184,22 @@ class SketchCC:
         return start, width, det_off
 
     def boruvka(
-        self, state: DataFrame, max_rounds: int | None = None
+        self,
+        state: DataFrame,
+        max_rounds: int | None = None,
+        driver_finish_bytes: int = 64 * 1024 * 1024,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Run Boruvka over the sketch state.
 
         Returns (labels: int64[num_vertices] — component = min member id,
         forest: (m,2) int64 spanning-forest edges).
+
+        Once the per-component slices for all *remaining* sample groups fit in
+        `driver_finish_bytes`, the tail rounds are finished driver-side in
+        numpy from one final collect — components shrink geometrically, so
+        this removes the long tail of per-round Spark jobs while keeping
+        driver memory bounded (the reference's whole query is in-memory; we
+        only drop down when it provably fits).
         """
         g = self.geom
         n = self.num_vertices
@@ -198,19 +209,7 @@ class SketchCC:
         state = state.persist()
         state.count()
 
-        for rnd in range(budget):
-            labels = dsu.labels()
-            if rnd == 0:
-                sampled = self._sample_round0(state)
-            else:
-                sampled = self._sample_round(state, labels, rnd)
-            good = sampled[sampled["status"] == GOOD]
-            if len(good) == 0:
-                break
-            eids = good["eid"].to_numpy(np.uint64)
-            lo, hi = decode_edges(eids, n)
-            valid = (lo >= 0) & (lo < hi) & (hi < n)  # checksum false-positive guard
-            lo, hi = lo[valid], hi[valid]
+        def _apply_edges(lo: np.ndarray, hi: np.ndarray) -> int:
             merged = 0
             for s, d in zip(lo, hi):
                 rs, rd = dsu.find(int(s)), dsu.find(int(d))
@@ -219,11 +218,132 @@ class SketchCC:
                     dsu.parent[hi_r] = lo_r
                     forest.append((int(s), int(d)))
                     merged += 1
-            if merged == 0:
+            return merged
+
+        slice_bytes_per_group = (g.cols_per_sample * g.bkt_per_col + 1) * 16
+        active: np.ndarray | None = None  # roots that may still have cut edges
+        rnd = 0
+        while rnd < budget:
+            labels = dsu.labels()
+            if rnd > 0 and active is not None:
+                # map last round's active roots through the merges; ZERO
+                # components dropped permanently (their sketches are empty —
+                # no cut edges can ever appear without new stream updates)
+                active = np.unique(labels[active])
+                remaining = budget - rnd
+                if len(active) == 0:
+                    break
+                if len(active) * remaining * slice_bytes_per_group <= driver_finish_bytes:
+                    self._finish_driver_side(
+                        state, labels, active, rnd, budget, dsu, forest, _apply_edges
+                    )
+                    break
+            if rnd == 0:
+                sampled = self._sample_round0(state)
+            else:
+                sampled = self._sample_round(state, labels, rnd, active)
+            nonzero = sampled[sampled["status"] != ZERO]
+            active = np.unique(nonzero["root"].to_numpy(np.int64))
+            good = nonzero[nonzero["status"] == GOOD]
+            if len(good) == 0:
                 break
+            eids = good["eid"].to_numpy(np.uint64)
+            lo, hi = decode_edges(eids, n)
+            valid = (lo >= 0) & (lo < hi) & (hi < n)  # checksum false-positive guard
+            if _apply_edges(lo[valid], hi[valid]) == 0:
+                break
+            rnd += 1
         state.unpersist()
         fa = np.array(forest, dtype=np.int64).reshape(-1, 2)
         return dsu.labels(), fa
+
+    def _finish_driver_side(
+        self,
+        state: DataFrame,
+        labels: np.ndarray,
+        active: np.ndarray,
+        start_round: int,
+        budget: int,
+        dsu: NumpyDSU,
+        forest: list,
+        apply_edges,
+    ) -> int:
+        """Collect per-component slices for all remaining sample groups (one
+        distributed partial-sum + one collect) and run the remaining Boruvka
+        rounds in pure numpy (reference cc_sketch_alg.cpp:464-513 analog)."""
+        g = self.geom
+        n = self.num_vertices
+        bpc, cps = g.bkt_per_col, g.cols_per_sample
+        start = start_round * cps * bpc * 16
+        width = (budget - start_round) * cps * bpc * 16
+        det_off = (g.num_buckets - 1) * 16
+        slice_nb = width // 16 + 1
+        labels_df = self._labels_df(labels, active)
+        joined = state.join(labels_df, "vertex").select("root", "sketch")
+        geom = g
+
+        def _partial(batches):
+            for pdf in _concat(batches):
+                roots = pdf["root"].to_numpy(np.int64)
+                full = SketchMatrix.from_bytes_rows(
+                    geom, pdf["sketch"].tolist(), reuse_slot="decode"
+                ).buckets
+                arr = np.empty((len(full), slice_nb, 2), dtype=np.uint64)
+                arr[:, :-1] = full[:, start // 16 : (start + width) // 16]
+                arr[:, -1] = full[:, det_off // 16]
+                uniq, inv = np.unique(roots, return_inverse=True)
+                out = np.zeros((len(uniq), slice_nb, 2), dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    np.add.at(out, inv, arr)
+                yield pd.DataFrame(
+                    {"root": uniq, "sketch": [out[i].tobytes() for i in range(len(uniq))]}
+                )
+
+        rows = joined.mapInPandas(_partial, schema=PARTIAL_SCHEMA).collect()
+        roots = np.array([r["root"] for r in rows], dtype=np.int64)
+        mats = np.frombuffer(
+            b"".join(r["sketch"] for r in rows), dtype=np.uint64
+        ).reshape(len(rows), slice_nb, 2)
+        uniq, inv = np.unique(roots, return_inverse=True)
+        acc = np.zeros((len(uniq), slice_nb, 2), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            np.add.at(acc, inv, mats)
+        comp_roots = uniq
+
+        n_groups = budget - start_round
+        slice_geom = _SliceGeom(g, slice_nb)
+        slice_geom.num_samples = n_groups
+        slice_geom.num_columns = n_groups * cps
+
+        total_merged = 0
+        for gi in range(n_groups):
+            sm = SketchMatrix(slice_geom, len(comp_roots), acc)
+            status, eid = sm.sample_many(gi)
+            goodm = status == GOOD
+            if goodm.any():
+                lo, hi = decode_edges(eid[goodm].astype(np.uint64), n)
+                valid = (lo >= 0) & (lo < hi) & (hi < n)
+                merged = apply_edges(lo[valid], hi[valid])
+            else:
+                merged = 0
+            total_merged += merged
+            if merged == 0 and not goodm.any():
+                break
+            # re-contract: combine slices of components merged this round
+            new_labels = dsu.labels()
+            new_roots = new_labels[comp_roots]
+            uniq2, inv2 = np.unique(new_roots, return_inverse=True)
+            if len(uniq2) == len(comp_roots):
+                if merged == 0:
+                    break
+                continue
+            acc2 = np.zeros((len(uniq2), slice_nb, 2), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                np.add.at(acc2, inv2, acc)
+            acc, comp_roots = acc2, uniq2
+            if len(comp_roots) <= 1:
+                break
+        return total_merged
 
     def _sample_round0(self, state: DataFrame) -> pd.DataFrame:
         """Round 0: sample every vertex's own sketch (cc_sketch_alg.cpp:223-244
@@ -246,25 +366,38 @@ class SketchCC:
                 )
 
         out = state.mapInPandas(_sample, schema=SAMPLE_SCHEMA)
-        pdf = out.where(F.col("status") == GOOD).toPandas()
+        # non-ZERO rows only: ZERO rows are isolated vertices (usually most
+        # of a web graph) and are excluded from every subsequent round
+        pdf = out.where(F.col("status") != ZERO).toPandas()
         pdf["eid"] = pdf["eid"].astype(np.int64).to_numpy().view(np.uint64)
         return pdf
 
+    def _labels_df(self, labels: np.ndarray, active: np.ndarray | None):
+        """Broadcastable (vertex, root) map, restricted to active components."""
+        verts = np.arange(len(labels), dtype=np.int64)
+        if active is not None:
+            mask = np.isin(labels, active)
+            verts, roots = verts[mask], labels[mask]
+        else:
+            roots = labels
+        return F.broadcast(
+            self.spark.createDataFrame(pd.DataFrame({"vertex": verts, "root": roots}))
+        )
+
     def _sample_round(
-        self, state: DataFrame, labels: np.ndarray, sample_idx: int
+        self,
+        state: DataFrame,
+        labels: np.ndarray,
+        sample_idx: int,
+        active: np.ndarray | None = None,
     ) -> pd.DataFrame:
         """Round r: prune each sketch to sample group r's columns, partial-sum
-        per (partition, root), final-sum + sample per root."""
+        per (partition, root), final-sum + sample per root. Inactive (ZERO)
+        components are dropped from the labels map, so their state rows never
+        enter the round at all (the join is inner)."""
         geom = self.geom
         start, width, det_off = self._prune_slice(sample_idx)
-        spark = self.spark
-        labels_df = F.broadcast(
-            spark.createDataFrame(
-                pd.DataFrame(
-                    {"vertex": np.arange(len(labels), dtype=np.int64), "root": labels}
-                )
-            )
-        )
+        labels_df = self._labels_df(labels, active)
         joined = state.join(labels_df, "vertex").select("root", "sketch")
         slice_nbuckets = width // 16 + 1
 
@@ -308,7 +441,7 @@ class SketchCC:
             )
 
         out = partials.groupBy("root").applyInPandas(_final, schema=SAMPLE_SCHEMA)
-        pdf = out.where(F.col("status") == GOOD).toPandas()
+        pdf = out.where(F.col("status") != ZERO).toPandas()
         pdf["eid"] = pdf["eid"].astype(np.int64).to_numpy().view(np.uint64)
         return pdf
 
