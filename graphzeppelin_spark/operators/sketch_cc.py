@@ -95,8 +95,11 @@ class SketchCC:
             samples_factor=samples_factor,
             variant=variant,
         )
-        self.num_partitions = num_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        # default: session shuffle parallelism, capped — each partition owns a
+        # SketchMatrix block, and hundreds of tiny python tasks cost more than
+        # they parallelize at sandbox scale (a cluster passes this explicitly)
+        self.num_partitions = num_partitions or min(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 64
         )
 
     # ------------------------------------------------------------------ build
