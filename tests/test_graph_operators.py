@@ -79,6 +79,38 @@ def test_labelprop_min_vs_oracle(spark):
     np.testing.assert_array_equal(got["label"].to_numpy(), expected)
 
 
+def test_labelprop_mode_rule_communities(spark):
+    # two cliques joined by one bridge edge: mode rule keeps two communities
+    import numpy as np
+
+    clique = lambda off: [[off + i, off + j] for i in range(4) for j in range(i + 1, 4)]
+    edges_np = np.array(clique(0) + clique(10) + [[3, 10]])
+    e = edges_df(spark, edges_np)
+    got = (
+        label_propagation_df(e, max_iters=10, rule="mode").orderBy("v").toPandas()
+    )
+    labels = dict(zip(got["v"], got["label"]))
+    assert len({labels[v] for v in (0, 1, 2)}) == 1  # clique 1 agrees
+    assert len({labels[v] for v in (11, 12, 13)}) == 1  # clique 2 agrees
+    assert labels[0] != labels[11]  # bridge does not merge the communities
+
+
+def test_pagerank_directed(spark):
+    # directed star 1..5 -> 0: vertex 0 collects mass, others share dangling
+    import numpy as np
+
+    edges_np = np.array([[i, 0] for i in range(1, 6)])
+    e = edges_df(spark, edges_np)
+    got = (
+        pagerank_df(e, vertices=_vertices(spark, 6), directed=True, num_iters=30)
+        .orderBy("v")
+        .toPandas()
+    )
+    expected = oracle.pagerank(edges_np, 6, directed=True, num_iters=30)
+    np.testing.assert_allclose(got["score"].to_numpy(), expected, atol=1e-9)
+    assert got["score"][0] == got["score"].max()
+
+
 def test_triangle_count_k4_plus_isolated(spark):
     edges = np.array([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3], [4, 5]])
     got = triangle_count_df(edges_df(spark, edges)).collect()[0]["n_triangles"]
