@@ -83,7 +83,7 @@ class SketchCC:
         spark: SparkSession,
         num_vertices: int,
         seed: int = 42,
-        variant: str = "cubesketch",
+        variant: str = "cameo",
         samples_factor: float = 1.0,
         num_partitions: int | None = None,
     ):
@@ -107,14 +107,22 @@ class SketchCC:
     def updates_from_stream(self, stream: DataFrame) -> DataFrame:
         """(seq,type,src,dst) → (vertex, eid, net) with JVM-side pre-aggregation.
 
-        Each undirected update hits both endpoints (the reference's double
-        gutter insert, graph_sketch_driver.h:171-172), with the AGM
-        signed-incidence convention: +eid at the lo endpoint, -eid at the hi
-        endpoint, times +1 insert / -1 delete — so summing a supernode's
-        member sketches cancels internal edges exactly (the role XOR plays in
-        the reference). net = the signed multiplicity per (vertex, edge):
-        repeat/cancelled updates collapse in the JVM partial agg before any
-        Python runs.
+        Stream contract (validated, not assumed): updates of one edge must
+        alternate insert/delete — exactly what the reference asserts on its
+        stream readers (a delete of a dead edge / re-insert of a live edge is
+        malformed there too). Under that contract the signed sum per
+        (vertex, edge) over ANY stream slice lies in {-1, 0, +1} and equals
+        the slice's occurrence-parity contribution, which is what makes
+        toggle semantics compose with the linear merge of micro-batch deltas
+        (an insert in batch k cancels a delete in batch k+1 bucket-for-bucket
+        when the states merge — the role XOR plays in the reference). A
+        malformed stream cannot corrupt buckets silently: |net| > 1 raises in
+        the JVM aggregate. Each undirected update hits both endpoints (the
+        reference's double gutter insert, graph_sketch_driver.h:171-172) with
+        the AGM signed-incidence convention: +eid at the lo endpoint, -eid at
+        the hi endpoint — so summing a supernode's member sketches cancels
+        internal edges exactly. All of this collapses in the JVM partial agg
+        before any Python runs.
         """
         n = self.num_vertices
         canon = stream.select(
@@ -128,10 +136,17 @@ class SketchCC:
                 F.col("hi").alias("vertex"), eid, (-F.col("sign")).alias("sign")
             )
         )
-        return (
-            both.groupBy("vertex", "eid")
-            .agg(F.sum("sign").alias("net"))
-            .where(F.col("net") != 0)
+        net = both.groupBy("vertex", "eid").agg(F.sum("sign").alias("net"))
+        return net.where(
+            F.when(
+                F.abs("net") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit("malformed stream: non-alternating updates for eid "),
+                        F.col("eid").cast("string"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.col("net") != 0)
         )
 
     def build_state(self, stream: DataFrame) -> DataFrame:
@@ -236,6 +251,9 @@ class SketchCC:
                 remaining = budget - rnd
                 if len(active) == 0:
                     break
+                # exact collected size: _finish_driver_side pre-reduces per
+                # root distributively, so the driver receives exactly one
+                # slice row per active component
                 if len(active) * remaining * slice_bytes_per_group <= driver_finish_bytes:
                     self._finish_driver_side(
                         state, labels, active, rnd, budget, dsu, forest, _apply_edges
@@ -260,6 +278,59 @@ class SketchCC:
         fa = np.array(forest, dtype=np.int64).reshape(-1, 2)
         return dsu.labels(), fa
 
+    def _reduced_slices(
+        self, state: DataFrame, labels_df: DataFrame, start: int, width: int
+    ) -> tuple[DataFrame, int]:
+        """(root, sketch) — per-component sums of the byte range
+        [start, start+width) plus the deterministic bucket (remapped to the
+        last slot), as fixed-width dense blobs. Two vectorized stages:
+        per-map-partition partial sums, then a repartition(root) exchange and
+        a final per-partition sum — so a giant component never concentrates
+        more rows on one reducer than there are map partitions, and no
+        per-root Python function calls happen anywhere."""
+        g = self.geom
+        det_idx = g.num_buckets - 1
+        keep_lo, keep_hi = start // 16, (start + width) // 16
+        slice_nb = width // 16 + 1
+        joined = state.join(labels_df, "vertex").select("root", "sketch")
+
+        def _partial(batches):
+            for pdf in _concat(batches):
+                roots = pdf["root"].to_numpy(np.int64)
+                arr = SketchMatrix.slice_rows(
+                    pdf["sketch"].tolist(), keep_lo, keep_hi, det_idx, slice_nb
+                )
+                uniq, inv = np.unique(roots, return_inverse=True)
+                out = np.zeros((len(uniq), slice_nb, 2), dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    np.add.at(out, inv, arr)
+                flat = out.reshape(len(uniq), -1)
+                yield pd.DataFrame(
+                    {"root": uniq, "sketch": [flat[i].tobytes() for i in range(len(uniq))]}
+                )
+
+        def _final(batches):
+            for pdf in _concat(batches):
+                roots = pdf["root"].to_numpy(np.int64)
+                mats = np.frombuffer(
+                    b"".join(pdf["sketch"].tolist()), dtype=np.uint64
+                ).reshape(len(roots), slice_nb, 2)
+                uniq, inv = np.unique(roots, return_inverse=True)
+                acc = np.zeros((len(uniq), slice_nb, 2), dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    np.add.at(acc, inv, mats)
+                flat = acc.reshape(len(uniq), -1)
+                yield pd.DataFrame(
+                    {"root": uniq, "sketch": [flat[i].tobytes() for i in range(len(uniq))]}
+                )
+
+        reduced = (
+            joined.mapInPandas(_partial, schema=PARTIAL_SCHEMA)
+            .repartition(self.num_partitions, "root")
+            .mapInPandas(_final, schema=PARTIAL_SCHEMA)
+        )
+        return reduced, slice_nb
+
     def _finish_driver_side(
         self,
         state: DataFrame,
@@ -271,47 +342,24 @@ class SketchCC:
         forest: list,
         apply_edges,
     ) -> int:
-        """Collect per-component slices for all remaining sample groups (one
-        distributed partial-sum + one collect) and run the remaining Boruvka
-        rounds in pure numpy (reference cc_sketch_alg.cpp:464-513 analog)."""
+        """Collect per-component slices for all remaining sample groups (a
+        distributed two-stage reduce + one collect) and run the remaining
+        Boruvka rounds in pure numpy (reference cc_sketch_alg.cpp:464-513
+        analog). The collect is exactly len(active) rows of slice bytes —
+        the groupBy(root) reduce runs distributed first, so the gate estimate
+        in boruvka() is the true collected size."""
         g = self.geom
         n = self.num_vertices
         bpc, cps = g.bkt_per_col, g.cols_per_sample
         start = start_round * cps * bpc * 16
         width = (budget - start_round) * cps * bpc * 16
-        det_off = (g.num_buckets - 1) * 16
-        slice_nb = width // 16 + 1
         labels_df = self._labels_df(labels, active)
-        joined = state.join(labels_df, "vertex").select("root", "sketch")
-        geom = g
-
-        def _partial(batches):
-            for pdf in _concat(batches):
-                roots = pdf["root"].to_numpy(np.int64)
-                full = SketchMatrix.from_bytes_rows(
-                    geom, pdf["sketch"].tolist(), reuse_slot="decode"
-                ).buckets
-                arr = np.empty((len(full), slice_nb, 2), dtype=np.uint64)
-                arr[:, :-1] = full[:, start // 16 : (start + width) // 16]
-                arr[:, -1] = full[:, det_off // 16]
-                uniq, inv = np.unique(roots, return_inverse=True)
-                out = np.zeros((len(uniq), slice_nb, 2), dtype=np.uint64)
-                with np.errstate(over="ignore"):
-                    np.add.at(out, inv, arr)
-                yield pd.DataFrame(
-                    {"root": uniq, "sketch": [out[i].tobytes() for i in range(len(uniq))]}
-                )
-
-        rows = joined.mapInPandas(_partial, schema=PARTIAL_SCHEMA).collect()
-        roots = np.array([r["root"] for r in rows], dtype=np.int64)
-        mats = np.frombuffer(
+        reduced, slice_nb = self._reduced_slices(state, labels_df, start, width)
+        rows = reduced.collect()
+        comp_roots = np.array([r["root"] for r in rows], dtype=np.int64)
+        acc = np.frombuffer(
             b"".join(r["sketch"] for r in rows), dtype=np.uint64
-        ).reshape(len(rows), slice_nb, 2)
-        uniq, inv = np.unique(roots, return_inverse=True)
-        acc = np.zeros((len(uniq), slice_nb, 2), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            np.add.at(acc, inv, mats)
-        comp_roots = uniq
+        ).reshape(len(rows), slice_nb, 2).copy()
 
         n_groups = budget - start_round
         slice_geom = _SliceGeom(g, slice_nb)
@@ -394,56 +442,63 @@ class SketchCC:
         sample_idx: int,
         active: np.ndarray | None = None,
     ) -> pd.DataFrame:
-        """Round r: prune each sketch to sample group r's columns, partial-sum
-        per (partition, root), final-sum + sample per root. Inactive (ZERO)
-        components are dropped from the labels map, so their state rows never
-        enter the round at all (the join is inner)."""
+        """Round r: prune each sketch to sample group r's columns at decode
+        time, partial-sum per (partition, root), exchange on root, then one
+        vectorized final-sum + l0-sample over every root in the partition —
+        no per-root Python calls. Inactive (ZERO) components are dropped from
+        the labels map, so their state rows never enter the round at all (the
+        join is inner)."""
         geom = self.geom
-        start, width, det_off = self._prune_slice(sample_idx)
+        start, width, _ = self._prune_slice(sample_idx)
+        det_idx = geom.num_buckets - 1
+        keep_lo, keep_hi = start // 16, (start + width) // 16
+        slice_nb = width // 16 + 1
         labels_df = self._labels_df(labels, active)
         joined = state.join(labels_df, "vertex").select("root", "sketch")
-        slice_nbuckets = width // 16 + 1
 
         def _partial(batches):
             for pdf in _concat(batches):
                 roots = pdf["root"].to_numpy(np.int64)
-                full = SketchMatrix.from_bytes_rows(
-                    geom, pdf["sketch"].tolist(), reuse_slot="decode"
-                ).buckets
-                arr = np.empty((len(full), slice_nbuckets, 2), dtype=np.uint64)
-                arr[:, :-1] = full[:, start // 16 : (start + width) // 16]
-                arr[:, -1] = full[:, det_off // 16]
+                arr = SketchMatrix.slice_rows(
+                    pdf["sketch"].tolist(), keep_lo, keep_hi, det_idx, slice_nb
+                )
                 uniq, inv = np.unique(roots, return_inverse=True)
-                out = np.zeros((len(uniq), slice_nbuckets, 2), dtype=np.uint64)
-                np.add.at(out, inv, arr)
+                out = np.zeros((len(uniq), slice_nb, 2), dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    np.add.at(out, inv, arr)
+                flat = out.reshape(len(uniq), -1)
+                yield pd.DataFrame(
+                    {"root": uniq, "sketch": [flat[i].tobytes() for i in range(len(uniq))]}
+                )
+
+        slice_geom = _SliceGeom(geom, slice_nb)
+
+        def _final(batches):
+            for pdf in _concat(batches):
+                roots = pdf["root"].to_numpy(np.int64)
+                mats = np.frombuffer(
+                    b"".join(pdf["sketch"].tolist()), dtype=np.uint64
+                ).reshape(len(roots), slice_nb, 2)
+                uniq, inv = np.unique(roots, return_inverse=True)
+                acc = np.zeros((len(uniq), slice_nb, 2), dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    np.add.at(acc, inv, mats)
+                sm = SketchMatrix(slice_geom, len(uniq), acc)
+                status, eid = sm.sample_many(0)
+                eid[status != GOOD] = 0
                 yield pd.DataFrame(
                     {
                         "root": uniq,
-                        "sketch": [out[i].tobytes() for i in range(len(uniq))],
+                        "status": status.astype(np.int32),
+                        "eid": _u64_col_to_i64(eid),
                     }
                 )
 
-        partials = joined.mapInPandas(_partial, schema=PARTIAL_SCHEMA)
-
-        slice_geom = _SliceGeom(geom, slice_nbuckets)
-
-        def _final(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            arr = np.zeros((slice_nbuckets, 2), dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                for b in pdf["sketch"]:
-                    arr += np.frombuffer(b, dtype=np.uint64).reshape(slice_nbuckets, 2)
-            sm = SketchMatrix(slice_geom, 1, arr[None, ...])
-            status, eid = sm.sample_many(0)
-            good = int(status[0]) == GOOD
-            return pd.DataFrame(
-                {
-                    "root": [key[0]],
-                    "status": [int(status[0])],
-                    "eid": [int(_u64_col_to_i64(eid[:1])[0]) if good else 0],
-                }
-            )
-
-        out = partials.groupBy("root").applyInPandas(_final, schema=SAMPLE_SCHEMA)
+        out = (
+            joined.mapInPandas(_partial, schema=PARTIAL_SCHEMA)
+            .repartition(self.num_partitions, "root")
+            .mapInPandas(_final, schema=SAMPLE_SCHEMA)
+        )
         pdf = out.where(F.col("status") != ZERO).toPandas()
         pdf["eid"] = pdf["eid"].astype(np.int64).to_numpy().view(np.uint64)
         return pdf

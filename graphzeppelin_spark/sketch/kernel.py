@@ -215,7 +215,7 @@ class SketchMatrix:
         rows: np.ndarray,
         eids: np.ndarray,
         signs: np.ndarray | None = None,
-        chunk: int = 32768,
+        chunk: int = 512,
     ) -> None:
         """Apply updates: rows[i] receives edge-id eids[i] with sign signs[i]
         (+1 insert / -1 delete; default all inserts). Deletes are exact
@@ -231,6 +231,13 @@ class SketchMatrix:
 
         Fully vectorized: per chunk, one broadcasted splitmix64 over
         (batch x columns) and a single add.at scatter.
+
+        chunk=512 keeps every scratch array (chunk x num_columns u64) inside
+        the core-private L2 cache, so the ~12-pass hash pipeline never round-
+        trips DRAM. This is what makes 32 concurrent python workers scale on
+        one box: measured with scripts/kernel_scaling_probe.py, chunk<=1024
+        gives 0.81-0.83 aggregate efficiency 8->32 procs vs 0.10-0.42 at the
+        old 32768 (where each worker dragged ~100MB of scratch through DRAM).
         """
         g = self.geom
         rows = np.asarray(rows, dtype=np.int64)
@@ -437,16 +444,22 @@ class SketchMatrix:
     def to_bytes_rows(self) -> list[bytes]:
         a = self.buckets[..., 0]
         g = self.buckets[..., 1]
-        nz_mask = (a | g) != 0
+        # one vectorized nonzero scan over the whole matrix + flat gathers;
+        # the per-row loop below only slices precomputed arrays (a 2048-row
+        # block serializes in ~10ms vs ~6s for per-row np.nonzero)
+        rows_nz, cols_nz = np.nonzero((a | g) != 0)
+        counts = np.bincount(rows_nz, minlength=self.num_rows).astype(np.uint32)
+        offs = np.zeros(self.num_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        ci = cols_nz.astype(np.int32)
+        av = a[rows_nz, cols_nz]
+        gv = g[rows_nz, cols_nz]
+        cb, ib, ab, gb = counts.tobytes(), ci.tobytes(), av.tobytes(), gv.tobytes()
         out = []
         for i in range(self.num_rows):
-            idx = np.nonzero(nz_mask[i])[0].astype(np.int32)
-            out.append(
-                np.uint32(len(idx)).tobytes()
-                + idx.tobytes()
-                + a[i, idx].tobytes()
-                + g[i, idx].tobytes()
-            )
+            s, e = int(offs[i]), int(offs[i + 1])
+            out.append(cb[4 * i : 4 * i + 4] + ib[4 * s : 4 * e]
+                       + ab[8 * s : 8 * e] + gb[8 * s : 8 * e])
         return out
 
     @classmethod
@@ -461,13 +474,69 @@ class SketchMatrix:
             buckets = cached_zero_buckets(geom.num_buckets, n, reuse_slot)
         else:
             buckets = np.zeros((n, geom.num_buckets, 2), dtype=np.uint64)
-        for i, b in enumerate(blobs):
-            nnz = int(np.frombuffer(b, dtype=np.uint32, count=1)[0])
-            idx = np.frombuffer(b, dtype=np.int32, count=nnz, offset=4)
-            vals = np.frombuffer(b, dtype=np.uint64, count=2 * nnz, offset=4 + 4 * nnz)
-            buckets[i, idx, 0] = vals[:nnz]
-            buckets[i, idx, 1] = vals[nnz:]
+        if n == 0:
+            return cls(geom, n, buckets)
+        # row length is 4 + 20*nnz, so nnz comes from len() — no header parse;
+        # everything else is one join + flat vectorized gathers/scatters
+        nnz = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n)
+        nnz = (nnz - 4) // 20
+        idx_parts, val_parts = [], []
+        for b, k in zip(blobs, nnz.tolist()):  # cheap memcpy slices only
+            idx_parts.append(b[4 : 4 + 4 * k])
+            val_parts.append(b[4 + 4 * k :])
+        idx_all = np.frombuffer(b"".join(idx_parts), dtype=np.int32).astype(np.int64)
+        vals = np.frombuffer(b"".join(val_parts), dtype=np.uint64)
+        total = int(nnz.sum())
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(nnz, out=offs[1:])
+        row_rep = np.repeat(np.arange(n, dtype=np.int64), nnz)
+        within = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], nnz)
+        vstart = np.repeat(2 * offs[:-1], nnz)  # row i's vals begin at 2*offs[i]
+        knn = np.repeat(nnz, nnz)
+        buckets[row_rep, idx_all, 0] = vals[vstart + within]
+        buckets[row_rep, idx_all, 1] = vals[vstart + knn + within]
         return cls(geom, n, buckets)
+
+    @staticmethod
+    def slice_rows(
+        blobs: "list[bytes] | np.ndarray",
+        keep_lo: int,
+        keep_hi: int,
+        det_idx: int,
+        out_nbuckets: int,
+    ) -> np.ndarray:
+        """Decode only buckets [keep_lo, keep_hi) (+ the deterministic bucket
+        at det_idx, remapped to the last output slot) from sparse row blobs.
+
+        The Boruvka query rounds need one sample group's columns, ~1/num_samples
+        of the state (the reference's range_merge column pruning,
+        sketch.cpp:156-179); decoding just that slice keeps the per-task
+        scatter target a few MB instead of the full dense matrix."""
+        n = len(blobs)
+        out = np.zeros((n, out_nbuckets, 2), dtype=np.uint64)
+        if n == 0:
+            return out
+        nnz = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n)
+        nnz = (nnz - 4) // 20
+        idx_parts, val_parts = [], []
+        for b, k in zip(blobs, nnz.tolist()):
+            idx_parts.append(b[4 : 4 + 4 * k])
+            val_parts.append(b[4 + 4 * k :])
+        idx_all = np.frombuffer(b"".join(idx_parts), dtype=np.int32).astype(np.int64)
+        vals = np.frombuffer(b"".join(val_parts), dtype=np.uint64)
+        total = int(nnz.sum())
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(nnz, out=offs[1:])
+        row_rep = np.repeat(np.arange(n, dtype=np.int64), nnz)
+        within = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], nnz)
+        vstart = np.repeat(2 * offs[:-1], nnz)
+        knn = np.repeat(nnz, nnz)
+        is_det = idx_all == det_idx
+        sel = ((idx_all >= keep_lo) & (idx_all < keep_hi)) | is_det
+        dst_idx = np.where(is_det, out_nbuckets - 1, idx_all - keep_lo)
+        out[row_rep[sel], dst_idx[sel], 0] = vals[(vstart + within)[sel]]
+        out[row_rep[sel], dst_idx[sel], 1] = vals[(vstart + knn + within)[sel]]
+        return out
 
 
 def encode_edges(src: np.ndarray, dst: np.ndarray, num_vertices: int) -> np.ndarray:

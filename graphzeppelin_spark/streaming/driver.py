@@ -36,7 +36,7 @@ class GraphStreamDriver:
         stream: DataFrame,
         num_vertices: int,
         seed: int = 42,
-        variant: str = "cubesketch",
+        variant: str = "cameo",
         checkpoint_dir: str | None = None,
         eager: bool = True,
         eager_batch_limit: int = 500_000,
@@ -123,27 +123,34 @@ class GraphStreamDriver:
             return
         rows = (
             batch.select(
+                "seq",
                 "type",
                 F.least("src", "dst").alias("lo"),
                 F.greatest("src", "dst").alias("hi"),
             )
             .where(F.col("lo") != F.col("hi"))
             .limit(self.eager_batch_limit + 1)
-            .collect()
+            .toPandas()
         )
         if len(rows) > self.eager_batch_limit:
             self._dsu_valid = False
             return
-        for r in rows:  # seq order within batch does not matter for inserts
-            e = (r["lo"], r["hi"])
-            if r["type"] == 0:
-                ra, rb = self._dsu.find(e[0]), self._dsu.find(e[1])
+        # replay MUST follow stream order: an unordered replay could apply a
+        # delete before the insert it cancels and then union a net-dead edge
+        # into the eager forest (stale connectivity with no invalidation)
+        rows = rows.sort_values("seq")
+        types = rows["type"].to_numpy()
+        lo = rows["lo"].to_numpy(np.int64)
+        hi = rows["hi"].to_numpy(np.int64)
+        for s, d, t in zip(lo.tolist(), hi.tolist(), types.tolist()):
+            if t == 0:
+                ra, rb = self._dsu.find(s), self._dsu.find(d)
                 if ra != rb:
                     lo_r, hi_r = (ra, rb) if ra < rb else (rb, ra)
                     self._dsu.parent[hi_r] = lo_r
-                    self._forest.add(e)
+                    self._forest.add((s, d))
             else:
-                if e in self._forest:
+                if (s, d) in self._forest:
                     self._dsu_valid = False
                     return
 
