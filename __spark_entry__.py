@@ -194,9 +194,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphzeppelin_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(
-        _augmented_docs(spark, sf_dir), threshold=JACCARD_T, df_cap_frac=2.0
-    )
+    return ngram_jaccard_pairs(_augmented_docs(spark, sf_dir), threshold=JACCARD_T)
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,9 +215,46 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs at a low threshold — brute_force verifies the
+    cosine expression itself (the LSH scale path is exercised, with planted
+    true near-dups, by dedup_embedding_lsh)."""
     from graphzeppelin_spark.operators.dedup import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=COS_T)
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=COS_T, brute_force=True
+    )
+
+
+PERT = 0.2  # planted near-dup perturbation weight
+LSH_T = 0.9  # only planted pairs sit above this cosine
+
+
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings plus deterministic near-duplicates at vec_id+100000:
+    e'[i] = e[i] + PERT * e[(i+1) mod d] — a non-uniform mix, so cosine
+    lands ~0.97-0.99 (a pure rescale would be exactly 1.0 and test nothing)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mut = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            f"transform(embedding, (x, i) -> cast(x as double) + {PERT} * "
+            "cast(element_at(embedding, (cast(i+1 as int) % size(embedding)) + 1) as double))"
+        ).alias("embedding"),
+    )
+    return e.select("vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")).unionAll(mut)
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-bucketed near-dup path (the 100TB default) against planted
+    true near-dups; exact-verified, so output = the true pairs at LSH_T."""
+    from graphzeppelin_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _augmented_embeddings(spark, sf_dir),
+        threshold=LSH_T,
+        num_tables=12,
+        num_planes=6,
+    )
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,20 +265,40 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from graphzeppelin_spark.operators.similarity import ivf_topk
+def _ann_gate_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(corpus, queries) for the ANN recall gates: corpus = embeddings plus
+    planted near-duplicates; queries = the planted mutants of every 50th
+    vector. Each query's exact nearest neighbor is its parent at cosine
+    ~0.98, with the next-best below ~0.6 — a margin every correct ANN index
+    must clear, and a deterministic expected answer an oracle can assert."""
+    corpus = _augmented_embeddings(spark, sf_dir)
+    queries = corpus.where(
+        (F.col("vec_id") >= 100000) & ((F.col("vec_id") - 100000) % 50 == 0)
+    )
+    return corpus, queries
 
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 50 == 0)
-    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN correctness gate: recall@1 of the planted nearest neighbor.
+
+    The oracle asserts hits=1 / recall=1.0 for every query; any regression
+    in the index (training, assignment, probing, rerank) misses parents and
+    fails the hash check."""
+    from graphzeppelin_spark.operators.similarity import ann_recall_at_k, ivf_topk
+
+    corpus, queries = _ann_gate_inputs(spark, sf_dir)
+    ann = ivf_topk(corpus, queries, k=1, n_centroids=16, nprobe=4)
+    return ann_recall_at_k(corpus, queries, ann, k=1)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from graphzeppelin_spark.operators.similarity import lsh_topk
+    """LSH ANN correctness gate: recall@1 of the planted nearest neighbor
+    (see q_ann_ivf)."""
+    from graphzeppelin_spark.operators.similarity import ann_recall_at_k, lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 50 == 0)
-    return lsh_topk(emb, queries, k=5, num_tables=8)
+    corpus, queries = _ann_gate_inputs(spark, sf_dir)
+    ann = lsh_topk(corpus, queries, k=1, num_tables=16, num_planes=6)
+    return ann_recall_at_k(corpus, queries, ann, k=1)
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -533,9 +589,55 @@ FROM documents
 """
 
 
+def _simhash_oracle() -> str:
+    """Bit-for-bit SQL twin of dedup.simhash_signatures: md5-derived 60-bit
+    token hashes, arithmetic bit extraction, 48 vote sums, vote-majority
+    signature — every step identical to the Spark expressions."""
+    from graphzeppelin_spark.operators.dedup import SIMHASH_BITS
+
+    votes = ", ".join(
+        f"SUM(2 * ((h // {1 << j}) % 2) - 1) AS b{j}" for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+  )
+  WHERE tok <> ''
+),
+votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes)
+SELECT d.doc_id, COALESCE(sig.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sig ON sig.doc_id = d.doc_id
+"""
+
+
+_AUG_EMB_SQL = f"""
+e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+aug AS (
+  SELECT vec_id, v FROM e0
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(generate_series(1, len(v)),
+                        i -> v[i] + {{pert}} * v[(i % len(v)) + 1]) AS v
+  FROM e0
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     cos = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+"""
+    ann_recall_oracle = """
+SELECT vec_id + 100000 AS query_id, CAST(1 AS BIGINT) AS hits,
+       CAST(1.0 AS DOUBLE) AS recall
+FROM embeddings WHERE vec_id % 50 = 0
 """
     return {
         "cc_chain": _CC_CHAIN_ORACLE,
@@ -579,6 +681,15 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= {COS_T}
 """,
+        "dedup_embedding_lsh": f"""
+WITH {_AUG_EMB_SQL.format(pert=PERT)}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {LSH_T}
+""",
+        "dedup_simhash": _simhash_oracle(),
+        "ann_lsh": ann_recall_oracle,
+        "ann_ivf": ann_recall_oracle,
         "ann_cosine_topk": f"""
 {cos},
 scored AS (
@@ -635,5 +746,4 @@ WITH ranked AS (
 )
 SELECT user_id, event_id, event_type, value FROM ranked WHERE rn = 1
 """,
-        # dedup_simhash, ann_lsh: approximate/hash-seeded — rows-only checks
     }

@@ -7,24 +7,27 @@ Four families, as a 100 TB training-data pipeline needs:
   expressions (sequence + transform + substring → explode → pair join with
   map-side-combinable counts). The exact method the approximate ones are
   verified against.
-- MinHash + LSH: per-doc minhash signatures (vectorized numpy over grouped
-  shingles), banded into buckets, candidate pairs from bucket joins, then
-  *verified* with exact Jaccard — so output = true pairs, recall whp 1 for
-  thresholds well above the band curve's knee.
-- SimHash: 64-bit token-vote fingerprints; near-dup pairs = hamming <= k
-  within LSH-rotated buckets (here: exact hamming over candidate pairs).
+- MinHash + LSH: shingles hashed JVM-side (xxhash64) so Python only ever
+  sees int64 columns; per-doc minhash signatures are a vectorized numpy
+  min-scatter per partition, banded into buckets, candidate pairs from
+  bucket joins, then *verified* with exact Jaccard — so output = true pairs,
+  recall whp 1 for thresholds well above the band curve's knee.
+- SimHash: 48-bit token-vote fingerprints computed 100% in Catalyst from
+  md5-derived token hashes with pure-arithmetic bit extraction — an
+  independent SQL engine reproduces the signatures bit-for-bit (the oracle
+  contract); near-dup pairs = hamming <= k within banded buckets.
 
 Scale notes: shingle explode is linear in corpus size and column-pruned to
-(doc_id, text); the pair join is keyed on shingle/bucket — frequent shingles
-are the skew risk, so the Jaccard path drops shingles above a document-
-frequency cap (standard practice: a shingle in >50% of docs carries no
-signal; the cap bounds join fan-out). All hashing is md5-derived so the
-DuckDB oracle can reproduce it exactly.
+(doc_id, text); the pair joins are keyed on shingle/bucket — frequent
+shingles are the skew risk, so candidate generation can drop shingles above
+a document-frequency cap (a shingle in >50% of docs carries no signal; the
+cap bounds join fan-out) while Jaccard itself is always computed over the
+FULL shingle sets of the surviving candidate pairs.
 """
 
 from __future__ import annotations
 
-import hashlib
+from functools import reduce
 
 import numpy as np
 import pandas as pd
@@ -33,6 +36,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from graphzeppelin_spark.sketch.kernel import splitmix64
+
+SIMHASH_BITS = 48  # fits signed 64-bit in both engines; 4 x 12-bit bands
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -61,35 +66,17 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    threshold: float = 0.5,
-    n: int = 3,
-    text_col: str = "text",
-    df_cap_frac: float = 0.5,
+def _verified_jaccard_pairs(
+    cands: DataFrame, sh: DataFrame, threshold: float
 ) -> DataFrame:
-    """(doc_a, doc_b) pairs with shingle-Jaccard >= threshold (doc_a < doc_b).
-
-    Jaccard computed over the *full* shingle sets; the document-frequency cap
-    only prunes which shingles can introduce a candidate pair (a pair sharing
-    only ubiquitous shingles has Jaccard ~ 0 anyway at sane thresholds).
-    """
-    sh = shingles(docs, n=n, text_col=text_col)
+    """Exact Jaccard over the FULL shingle sets for candidate (doc_a, doc_b)
+    pairs; returns the pairs meeting the threshold."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    n_docs = docs.count()
-    cap = max(2, int(df_cap_frac * n_docs))
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= cap)
-        .select("shingle")
-    )
-    sh_r = sh.join(rare, "shingle")
-    a = sh_r.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh_r.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ai = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    bi = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        cands.join(ai, "doc_a")
+        .join(bi, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -106,8 +93,41 @@ def ngram_jaccard_pairs(
     )
 
 
-def _md5_u64(s: str) -> np.uint64:
-    return np.uint64(int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16))
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b) pairs with shingle-Jaccard >= threshold (doc_a < doc_b).
+
+    Candidate pairs come from co-occurring shingles — optionally only
+    shingles in <= df_cap documents (skew bound: a shingle in most documents
+    fans out quadratically and carries no signal at sane thresholds) — and
+    the Jaccard test then recounts the intersection over the FULL shingle
+    sets, so the cap can only lose candidate pairs whose every common
+    shingle is ubiquitous, never misscore a surviving pair. No Spark action
+    runs at plan-construction time."""
+    sh = shingles(docs, n=n, text_col=text_col)
+    sh_c = sh
+    if df_cap is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= df_cap)
+            .select("shingle")
+        )
+        sh_c = sh.join(rare, "shingle")
+    a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verified_jaccard_pairs(cands, sh, threshold)
 
 
 _SIG_SCHEMA = T.StructType(
@@ -124,29 +144,44 @@ def minhash_bands(
 ) -> DataFrame:
     """(doc_id, band, bucket) LSH keys from minhash signatures.
 
-    Signature h_i(doc) = min over shingles of splitmix64(md5_64(shingle), seed+i),
-    computed vectorized per group; band bucket = splitmix64-combined rows."""
+    Shingle hashing happens in the JVM (xxhash64) — Python receives only
+    (doc_id, h) int64 columns and does pure-numeric work: signature
+    h_i(doc) = min over shingles of splitmix64(h, seed+i) via one vectorized
+    min-scatter per hash function, then band buckets by chained splitmix64.
+    One repartition(doc_id) co-locates each doc's shingle hashes; all docs in
+    a partition are processed in one numpy pass (no per-doc groups)."""
     rows_per_band = num_hashes // bands
+    hashed = sh.select(
+        "doc_id", F.xxhash64("shingle", F.lit(seed)).alias("h")
+    ).repartition("doc_id")
 
-    def _sig(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        base = np.fromiter(
-            (_md5_u64(s) for s in pdf["shingle"]), dtype=np.uint64, count=len(pdf)
-        )
-        sig = np.empty(num_hashes, dtype=np.uint64)
+    def _sig(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        docs = pdf["doc_id"].to_numpy(np.int64)
+        base = pdf["h"].to_numpy(np.int64).view(np.uint64)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        sig = np.full((len(uniq), num_hashes), np.uint64(0xFFFFFFFFFFFFFFFF))
         for i in range(num_hashes):
-            sig[i] = splitmix64(base, seed + i).min()
-        buckets = []
+            hv = splitmix64(base, seed + i)
+            np.minimum.at(sig[:, i], inv, hv)
+        out_b = np.empty((len(uniq), bands), dtype=np.int64)
         for b in range(bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            acc = np.uint64(b)
-            for v in chunk:
-                acc = splitmix64(np.array([acc ^ v]), seed)[0]
-            buckets.append(int(acc.astype(np.int64).view(np.int64)))
-        return pd.DataFrame(
-            {"doc_id": key[0], "band": np.arange(bands, dtype=np.int32), "bucket": buckets}
+            acc = np.full(len(uniq), np.uint64(b))
+            for r in range(rows_per_band):
+                acc = splitmix64(acc ^ sig[:, b * rows_per_band + r], seed)
+            out_b[:, b] = acc.view(np.int64)
+        yield pd.DataFrame(
+            {
+                "doc_id": np.repeat(uniq, bands),
+                "band": np.tile(np.arange(bands, dtype=np.int32), len(uniq)),
+                "bucket": out_b.reshape(-1),
+            }
         )
 
-    return sh.groupBy("doc_id").applyInPandas(_sig, schema=_SIG_SCHEMA)
+    return hashed.mapInPandas(_sig, schema=_SIG_SCHEMA)
 
 
 def minhash_dedup_pairs(
@@ -172,77 +207,58 @@ def minhash_dedup_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact verification of candidates
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    ai = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    bi = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cands.join(ai, "doc_a")
-        .join(bi, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(
-            F.col("inter")
-            >= F.lit(threshold) * (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return _verified_jaccard_pairs(cands, sh, threshold)
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) 48-bit token-vote fingerprints, 100% Catalyst.
+
+    Token hash = first 15 hex chars of md5(token) as an integer (60 bits,
+    safely inside a signed long); bit j extracted arithmetically as
+    (h div 2^j) % 2 — every step is reproducible verbatim in an independent
+    SQL engine (see the dedup_simhash oracle), which is the point: the
+    signature itself is the verified artifact, not just row counts. Empty
+    documents get signature 0."""
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
         )
-        .select("doc_a", "doc_b")
+        .where(F.col("tok") != "")
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+        )
     )
-    return out
-
-
-_SIMHASH_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("simhash", T.LongType(), False),
+    aggs = [
+        F.sum(F.expr(f"2 * ((h div {1 << j}) % 2) - 1")).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
     ]
-)
-
-
-def simhash_signatures(docs: DataFrame, seed: int = 42, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash) 64-bit token-vote fingerprints (vectorized per batch)."""
-
-    def _sim(batches):
-        for pdf in batches:
-            out_ids, out_sig = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                toks = text.split()
-                if not toks:
-                    out_ids.append(doc_id)
-                    out_sig.append(0)
-                    continue
-                base = np.fromiter(
-                    (_md5_u64(t) for t in toks), dtype=np.uint64, count=len(toks)
-                )
-                h = splitmix64(base, seed)
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                    np.int64
-                )
-                votes = (2 * bits - 1).sum(axis=0)
-                sig = np.uint64(0)
-                for j in np.nonzero(votes > 0)[0]:
-                    sig |= np.uint64(1) << np.uint64(j)
-                out_ids.append(doc_id)
-                out_sig.append(int(sig.astype(np.int64).view(np.int64)))
-            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sig})
-
-    return docs.select("doc_id", text_col).mapInPandas(_sim, schema=_SIMHASH_SCHEMA)
+    votes = toks.groupBy("doc_id").agg(*aggs)
+    sig = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    signed = votes.select("doc_id", sig.cast("long").alias("simhash"))
+    return (
+        docs.select("doc_id")
+        .join(signed, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash"))
+    )
 
 
 def simhash_dedup_pairs(
-    docs: DataFrame, max_hamming: int = 8, seed: int = 42, text_col: str = "text"
+    docs: DataFrame, max_hamming: int = 6, text_col: str = "text"
 ) -> DataFrame:
     """(doc_a, doc_b) with simhash hamming distance <= max_hamming.
 
-    Candidates from 4 x 16-bit band buckets (any identical quarter —
+    Candidates from 4 x 12-bit band buckets (any identical quarter —
     guarantees recall for hamming <= 3 and whp beyond); exact hamming check
     via bit_count on the XOR (JVM-side)."""
-    sig = simhash_signatures(docs, seed=seed, text_col=text_col).persist()
+    sig = simhash_signatures(docs, text_col=text_col).persist()
+    band_width = SIMHASH_BITS // 4
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -251,8 +267,8 @@ def simhash_dedup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", band_width * i)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
                         .alias("bucket"),
                     )
                     for i in range(4)
@@ -279,10 +295,22 @@ def simhash_dedup_pairs(
 
 
 def embedding_neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_tables: int = 8,
+    num_planes: int = 8,
+    seed: int = 42,
+    brute_force: bool = False,
 ) -> DataFrame:
-    """(id_a, id_b) embedding pairs with cosine >= threshold — brute-force
-    O(n^2) JVM-side (the scale path buckets by LSH first; similarity.py)."""
+    """(id_a, id_b) embedding pairs with cosine >= threshold.
+
+    Default is the scale path: candidates share a random-hyperplane LSH
+    bucket in any of `num_tables` tables (bounded join fan-out), then the
+    exact cosine filter runs on the candidate pairs only. Recall: a pair at
+    cosine c collides in one table w.p. (1 - acos(c)/pi)^num_planes; at
+    c >= 0.95 and 8 planes that is >= 0.83, so >= 1 - (1-0.83)^8 ~ 1 - 6e-7
+    over 8 tables. brute_force=True keeps the O(n^2) crossJoin for small
+    inputs / verification."""
     e = embeddings.select(
         F.col("vec_id"),
         F.col("embedding").cast("array<double>").alias("v"),
@@ -296,10 +324,23 @@ def embedding_neardup_pairs(
     b = e.select(
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
     )
+    if brute_force:
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        from graphzeppelin_spark.operators.similarity import lsh_buckets
+
+        bk = lsh_buckets(embeddings, num_tables=num_tables, num_planes=num_planes, seed=seed)
+        ca = bk.select(F.col("vec_id").alias("id_a"), "table", "bucket")
+        cb = bk.select(F.col("vec_id").alias("id_b"), "table", "bucket")
+        cands = (
+            ca.join(cb, ["table", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        pairs = cands.join(a, "id_a").join(b, "id_b")
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
+        pairs.withColumn(
             "cos",
             F.aggregate(
                 F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x

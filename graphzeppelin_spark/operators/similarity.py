@@ -4,14 +4,20 @@
   JVM-side zip_with/aggregate expression — no Python in the hot loop; the
   per-query top-k is a window row_number over the scored pairs.
 - lsh_topk: random-hyperplane LSH bucketing (seeded, deterministic) with
-  multi-probe via several independent tables, then exact scoring within
-  buckets — the scale path: candidate set is ~bucket-sized instead of n.
+  multi-probe via several independent tables, then exact scoring of ONLY the
+  candidate pairs — the scale path: candidate set is ~bucket-sized instead
+  of n, and the cosine expression is evaluated on the joined candidate rows
+  (never via a queries x corpus cross join).
+- ivf_topk: inverted-file index over k-means centroids trained with
+  DISTRIBUTED Lloyd iterations (assign = vectorized mapInPandas argmax
+  against the broadcast centroids, recenter = groupBy(centroid) average of
+  the embedding arrays in the JVM) — no full-corpus driver collect anywhere.
 
 Scale notes: brute force is O(n_queries * n) — fine for reranking, wrong as
-the primary index at 10^12; the LSH path shuffles each vector to
-(table, bucket) keys so the join fan-out is bounded by bucket occupancy.
-An IVF variant would replace the hash with learned centroids but keep the
-same bucket-join shape.
+the primary index at 10^12; the bucketed paths shuffle each vector to
+(table, bucket) / centroid keys so the join fan-out is bounded by bucket
+occupancy. Centroids are O(n_centroids * dim) — broadcast-sized by
+construction (the classic IVF regime: n_centroids ~ sqrt(n)).
 """
 
 from __future__ import annotations
@@ -23,32 +29,45 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _scored(queries: DataFrame, corpus: DataFrame) -> DataFrame:
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("vq"),
+def _with_norm(df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str) -> DataFrame:
+    return df.select(
+        F.col("vec_id").alias(id_alias),
+        F.col("embedding").cast("array<double>").alias(vec_alias),
         F.sqrt(
             F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x)
-        ).alias("nq"),
+        ).alias(norm_alias),
     )
-    c = corpus.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("vc"),
-        F.sqrt(
-            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x)
-        ).alias("nc"),
-    )
+
+
+def _cosine_col() -> "F.Column":
+    return F.aggregate(
+        F.zip_with("vq", "vc", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    ) / (F.col("nq") * F.col("nc"))
+
+
+def _score_pairs(
+    pairs: DataFrame, queries: DataFrame, corpus: DataFrame, round_digits: int
+) -> DataFrame:
+    """Exact cosine for (query_id, neighbor_id) pairs: join each side's
+    embedding onto the pair rows and evaluate the dot product there — the
+    candidate pruning therefore actually prunes compute (a join against a
+    crossJoin-derived scored table would re-score the full n_q x n matrix)."""
+    q = _with_norm(queries, "query_id", "vq", "nq")
+    c = _with_norm(corpus, "neighbor_id", "vc", "nc")
     return (
-        q.crossJoin(c)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos",
-            F.aggregate(
-                F.zip_with("vq", "vc", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-            )
-            / (F.col("nq") * F.col("nc")),
-        )
-        .select("query_id", "neighbor_id", "cos")
+        pairs.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("score", F.round(_cosine_col(), round_digits))
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "score")
     )
 
 
@@ -59,15 +78,15 @@ def cosine_topk(
 
     Ranking uses (round(cos), neighbor_id) so results are stable across
     engines and float summation orders."""
-    scored = _scored(queries, embeddings).withColumn(
-        "score", F.round("cos", round_digits)
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
+    q = _with_norm(queries, "query_id", "vq", "nq")
+    c = _with_norm(embeddings, "neighbor_id", "vc", "nc")
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(_cosine_col(), round_digits))
         .select("query_id", "neighbor_id", "score")
     )
+    return _topk(scored, k)
 
 
 _BUCKET_SCHEMA = T.StructType(
@@ -88,7 +107,6 @@ def lsh_buckets(
     nothing is broadcast, so the op scales to any corpus size."""
 
     def _bucketize(batches):
-        rng = np.random.default_rng(seed)
         dim_planes = {}
         for pdf in batches:
             if len(pdf) == 0:
@@ -125,29 +143,75 @@ def ivf_train_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
     kmeans_iters: int = 5,
-    sample_stride: int = 1,
     seed: int = 42,
 ) -> np.ndarray:
-    """Mini k-means on a deterministic sample, driver-side.
+    """Spherical mini k-means, trained DISTRIBUTED (Lloyd iterations):
 
-    The sample is vec_id % sample_stride == 0 (bounded collect); production
-    at 10^12 rows would run the same Lloyd iterations distributively
-    (assign = mapInPandas argmax, recenter = groupBy(centroid).avg) — the
-    index *structure* downstream is identical."""
-    pdf = embeddings.where(F.col("vec_id") % sample_stride == 0).select(
-        "embedding"
-    ).toPandas()
-    x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    - init: n_centroids seeds picked by a deterministic hash order — a
+      bounded collect of exactly n_centroids rows, never the corpus;
+    - assign: vectorized numpy argmax against the (small, task-regenerated)
+      current centroids inside mapInPandas;
+    - recenter: groupBy(centroid) elementwise average of the embedding
+      arrays, computed in the JVM via posexplode + avg — the only data
+      collected per iteration is the (n_centroids x dim) centroid matrix.
+
+    The driver never holds more than n_centroids * dim floats (the IVF index
+    contract: centroids are broadcast-sized)."""
+    norm = embeddings.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double")
+            / F.sqrt(
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda a, y: a + y.cast("double") * y
+                )
+                + F.lit(1e-12)
+            ),
+        ).alias("v"),
+    )
+    init_rows = (
+        norm.withColumn("h", F.xxhash64(F.col("vec_id") + F.lit(seed)))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent = np.array([r["v"] for r in init_rows], dtype=np.float64)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("centroid", T.IntegerType(), False),
+            T.StructField("v", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
     for _ in range(kmeans_iters):
-        assign = np.argmax(x @ cent.T, axis=1)
-        for c in range(len(cent)):
-            members = x[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+        cur = cent  # captured by value in the closure below
+
+        def _assign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.array(pdf["v"].tolist(), dtype=np.float64)
+                a = np.argmax(x @ cur.T, axis=1).astype(np.int32)
+                yield pd.DataFrame({"centroid": a, "v": pdf["v"]})
+
+        assigned = norm.mapInPandas(_assign, schema=assign_schema)
+        means = (
+            assigned.select("centroid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cent.copy()
+        by_c: dict[int, list[tuple[int, float]]] = {}
+        for r in means:
+            by_c.setdefault(r["centroid"], []).append((r["pos"], r["m"]))
+        for cidx, pm in by_c.items():
+            vec = np.array([m for _, m in sorted(pm)], dtype=np.float64)
+            nv = np.linalg.norm(vec)
+            if nv > 1e-12:
+                new[cidx] = vec / nv
+        cent = new
     return cent
 
 
@@ -191,8 +255,8 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: corpus vectors
     bucketed by nearest centroid, queries probe their nprobe nearest lists,
-    exact cosine rerank within the probed lists. The scale path's candidate
-    set is ~nprobe/n_centroids of the corpus per query."""
+    exact cosine rerank computed on the candidate pairs only. The scale
+    path's candidate set is ~nprobe/n_centroids of the corpus per query."""
     cent = ivf_train_centroids(embeddings, n_centroids=n_centroids, seed=seed)
     corpus_lists = _ivf_assign(embeddings, cent, 1, "neighbor_id")
     query_probes = _ivf_assign(queries, cent, nprobe, "query_id")
@@ -202,15 +266,7 @@ def ivf_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cands.join(
-        _scored(queries, embeddings), ["query_id", "neighbor_id"]
-    ).withColumn("score", F.round("cos", round_digits))
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "score")
-    )
+    return _topk(_score_pairs(cands, queries, embeddings, round_digits), k)
 
 
 def lsh_topk(
@@ -223,7 +279,8 @@ def lsh_topk(
     round_digits: int = 4,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in any table, then
-    exact cosine + window top-k. Recall grows with num_tables."""
+    exact cosine on the candidate pairs + window top-k. Recall grows with
+    num_tables."""
     cb = lsh_buckets(embeddings, num_tables, num_planes, seed)
     qb = lsh_buckets(queries, num_tables, num_planes, seed).select(
         F.col("vec_id").alias("query_id"), "table", "bucket"
@@ -234,14 +291,35 @@ def lsh_topk(
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    scored = (
-        cands.join(
-            _scored(queries, embeddings), ["query_id", "neighbor_id"]
-        ).withColumn("score", F.round("cos", round_digits))
+    return _topk(_score_pairs(cands, queries, embeddings, round_digits), k)
+
+
+def ann_recall_at_k(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    ann_result: DataFrame,
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """(query_id, hits, recall) — fraction of the EXACT top-k (ties included
+    by the deterministic (score, neighbor_id) order) that the ANN result
+    returned. The ANN correctness gate: deterministic given seeded hashes, so
+    an oracle can assert the expected recall exactly."""
+    exact = cosine_topk(embeddings, queries, k=k, round_digits=round_digits)
+    hits = (
+        exact.join(
+            ann_result.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "score")
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("hits", F.lit(0)).alias("hits"),
+        F.round(
+            F.coalesce("hits", F.lit(0)) / F.col("n_exact"), 6
+        ).alias("recall"),
     )

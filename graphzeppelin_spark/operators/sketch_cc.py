@@ -149,10 +149,18 @@ class SketchCC:
             ).otherwise(F.col("net") != 0)
         )
 
+    def packed_updates(self, stream: DataFrame) -> DataFrame:
+        """(vertex, seid) — the net updates with the sign folded into the edge
+        id (seid = net * eid, eid >= 1 always), i.e. 16 bytes per row through
+        the build shuffle instead of 24. This row format exists purely to
+        shrink the one full-width exchange of the ingest path."""
+        upd = self.updates_from_stream(stream)
+        return upd.select("vertex", (F.col("net") * F.col("eid")).alias("seid"))
+
     def build_state(self, stream: DataFrame) -> DataFrame:
         """Build the (vertex, sketch) state table from a full stream slice."""
         geom = self.geom
-        updates = self.updates_from_stream(stream).repartition(
+        updates = self.packed_updates(stream).repartition(
             self.num_partitions, "vertex"
         )
 
@@ -160,12 +168,10 @@ class SketchCC:
             for pdf in _concat(batches):
                 verts = pdf["vertex"].to_numpy(np.int64)
                 uniq, inv = np.unique(verts, return_inverse=True)
+                seid = pdf["seid"].to_numpy(np.int64)
+                signs = np.where(seid >= 0, np.int64(1), np.int64(-1))
                 sm = SketchMatrix(geom, len(uniq), reuse_slot="build")
-                sm.update_many(
-                    inv,
-                    pdf["eid"].to_numpy(np.uint64),
-                    signs=pdf["net"].to_numpy(np.int64),
-                )
+                sm.update_many(inv, np.abs(seid).astype(np.uint64), signs=signs)
                 yield pd.DataFrame({"vertex": uniq, "sketch": sm.to_bytes_rows()})
 
         return updates.mapInPandas(_build, schema=STATE_SCHEMA)
@@ -205,7 +211,7 @@ class SketchCC:
         self,
         state: DataFrame,
         max_rounds: int | None = None,
-        driver_finish_bytes: int = 64 * 1024 * 1024,
+        driver_finish_bytes: int = 256 * 1024 * 1024,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Run Boruvka over the sketch state.
 
@@ -435,25 +441,20 @@ class SketchCC:
             self.spark.createDataFrame(pd.DataFrame({"vertex": verts, "root": roots}))
         )
 
-    def _sample_round(
-        self,
-        state: DataFrame,
-        labels: np.ndarray,
-        sample_idx: int,
-        active: np.ndarray | None = None,
-    ) -> pd.DataFrame:
-        """Round r: prune each sketch to sample group r's columns at decode
-        time, partial-sum per (partition, root), exchange on root, then one
-        vectorized final-sum + l0-sample over every root in the partition —
-        no per-root Python calls. Inactive (ZERO) components are dropped from
-        the labels map, so their state rows never enter the round at all (the
-        join is inner)."""
+    def _sampled_components(
+        self, state: DataFrame, labels_df: DataFrame, sample_idx: int
+    ) -> DataFrame:
+        """(root, status, eid) DataFrame — one l0-sample per component using
+        sample group `sample_idx`: prune each sketch to the group's columns
+        at decode time, partial-sum per (partition, root), exchange on root,
+        then one vectorized final-sum + sample over every root in the
+        partition — no per-root Python calls. Components absent from
+        labels_df never enter the round at all (the join is inner)."""
         geom = self.geom
         start, width, _ = self._prune_slice(sample_idx)
         det_idx = geom.num_buckets - 1
         keep_lo, keep_hi = start // 16, (start + width) // 16
         slice_nb = width // 16 + 1
-        labels_df = self._labels_df(labels, active)
         joined = state.join(labels_df, "vertex").select("root", "sketch")
 
         def _partial(batches):
@@ -494,11 +495,22 @@ class SketchCC:
                     }
                 )
 
-        out = (
+        return (
             joined.mapInPandas(_partial, schema=PARTIAL_SCHEMA)
             .repartition(self.num_partitions, "root")
             .mapInPandas(_final, schema=SAMPLE_SCHEMA)
         )
+
+    def _sample_round(
+        self,
+        state: DataFrame,
+        labels: np.ndarray,
+        sample_idx: int,
+        active: np.ndarray | None = None,
+    ) -> pd.DataFrame:
+        """Driver-DSU fast path: collect the per-component samples (at most
+        one row per active component, geometrically shrinking)."""
+        out = self._sampled_components(state, self._labels_df(labels, active), sample_idx)
         pdf = out.where(F.col("status") != ZERO).toPandas()
         pdf["eid"] = pdf["eid"].astype(np.int64).to_numpy().view(np.uint64)
         return pdf
@@ -512,6 +524,79 @@ class SketchCC:
                 {"v": np.arange(self.num_vertices, dtype=np.int64), "component": labels}
             )
         )
+
+    def connected_components_distributed(
+        self, state: DataFrame, max_rounds: int | None = None
+    ) -> DataFrame:
+        """(vertex, component) with labels resident as a DataFrame end-to-end —
+        the 10^9+-vertex path: no driver structure is ever Θ(num_vertices)
+        (boruvka()'s numpy DSU + labels array is the fast path up to ~10^8).
+
+        Per Boruvka round: sample one edge per active component (the same
+        pruned two-stage reduce as the fast path), decode endpoints in the
+        JVM, lift them to component ids through the label table, and contract
+        the resulting component graph with the exact star-contraction CC
+        operator (operators/connectivity.py) — the component graph has at
+        most one edge per active component, so contraction cost shrinks
+        geometrically. Labels update by a (root -> new_root) remap join, and
+        components that sampled ZERO (no cut edges) retire from later rounds.
+
+        Vertices with no updates in the stream never appear in `state`; they
+        are isolated singletons and are implicitly their own component.
+        Returns labels for state vertices only."""
+        from graphzeppelin_spark.operators.connectivity import connected_components_df
+
+        g = self.geom
+        n = self.num_vertices
+        budget = g.num_samples if max_rounds is None else min(max_rounds, g.num_samples)
+        labels = state.select("vertex", F.col("vertex").alias("root"))
+        labels = labels.localCheckpoint(eager=True)
+        active: DataFrame | None = None  # roots that may still have cut edges
+        for rnd in range(budget):
+            lbl_in = labels if active is None else labels.join(active, "root")
+            samples = self._sampled_components(state, lbl_in, rnd)
+            samples = samples.localCheckpoint(eager=True)
+            good = samples.where(F.col("status") == F.lit(int(GOOD)))
+            # endpoints of the sampled edges, lifted to component ids
+            ends = good.select(
+                "root",
+                F.expr(f"eid div {n}").alias("lo"),
+                F.pmod("eid", F.lit(n)).cast("long").alias("hi"),
+            ).where(
+                (F.col("lo") >= 0) & (F.col("lo") < F.col("hi")) & (F.col("hi") < n)
+            )
+            lv = labels.select(F.col("vertex").alias("lo"), F.col("root").alias("ra"))
+            hv = labels.select(F.col("vertex").alias("hi"), F.col("root").alias("rb"))
+            comp_edges = (
+                ends.join(lv, "lo")
+                .join(hv, "hi")
+                .where(F.col("ra") != F.col("rb"))
+                .select(
+                    F.least("ra", "rb").alias("src"), F.greatest("ra", "rb").alias("dst")
+                )
+                .distinct()
+            )
+            if comp_edges.isEmpty():
+                break
+            remap = connected_components_df(comp_edges).select(
+                F.col("v").alias("root"), F.col("component").alias("new_root")
+            )
+            labels = (
+                labels.join(remap, "root", "left")
+                .select(
+                    "vertex", F.coalesce("new_root", "root").alias("root")
+                )
+                .localCheckpoint(eager=True)
+            )
+            active = (
+                samples.where(F.col("status") != F.lit(int(ZERO)))
+                .select("root")
+                .join(remap, "root", "left")
+                .select(F.coalesce("new_root", "root").alias("root"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        return labels.select("vertex", F.col("root").alias("component"))
 
     def spanning_forest(self, state: DataFrame) -> DataFrame:
         _, forest = self.boruvka(state)

@@ -116,6 +116,15 @@ class SketchGeometry:
     cubesketch (l0) / 1 - log2(2-0.8) for cameo — the reference's sample
     budget (include/sketch.h:74-76,183-190) guaranteeing enough independent
     sample groups for every Boruvka round whp.
+
+    Deliberate divergence: the reference floors num_samples at 18; this
+    kernel floors at 4. The reference's floor also buys one-sparse-detection
+    confidence, which here comes from the 64-bit additive checksum instead
+    (a non-one-sparse bucket passes with prob 2^-64 per query, vs the XOR
+    formulation's weaker per-column guard), so extra sample groups only
+    hedge Boruvka round failures — bounded statistically in
+    tests/test_sketch_properties.py. Callers wanting reference-parity margins
+    pass samples_factor >= 1.5.
     """
 
     num_vertices: int
@@ -540,7 +549,13 @@ class SketchMatrix:
 
 
 def encode_edges(src: np.ndarray, dst: np.ndarray, num_vertices: int) -> np.ndarray:
-    """Canonical edge id: lo * n + hi (uint64). Inverse: (eid // n, eid % n)."""
+    """Canonical edge id: lo * n + hi (uint64). Inverse: (eid // n, eid % n).
+
+    Range limit: eid < n^2 must fit uint64 (and the Spark-side signed-long
+    columns), so n <= ~3x10^9 vertices — 20x the largest public web-crawl
+    host graph. Beyond that, the Spark columns switch to (lo, hi) pair keys
+    (SURVEY.md §7 hard-part (a)); the kernel algebra is unchanged since
+    buckets only ever see hashes and signed sums of eids."""
     lo = np.minimum(src, dst).astype(np.uint64)
     hi = np.maximum(src, dst).astype(np.uint64)
     return lo * np.uint64(num_vertices) + hi

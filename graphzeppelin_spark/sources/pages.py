@@ -7,11 +7,9 @@ html: binary, text: string, lang: string). This module provides:
   no per-row Python loop); the per-row invariant is that extraction is
   byte-identical per url with the table's `text` column;
 - extract_hrefs: vectorized href extraction → (src_url, dst_url) pairs;
-- url_dictionary: url → dense long id (deterministic: ids assigned by
-  lexicographic url order via zipWithIndex-free SQL row_number — at 10^12
-  scale you would hash-partition and assign ids with
-  monotonically_increasing_id + a remap join; row_number keeps ids dense and
-  reproducible for tests);
+- url_dictionary: url → dense long id, deterministic and scalable (hash
+  partition → per-partition row_number → add broadcast per-partition
+  offsets; no global sort, no single-reducer Window);
 - edge_table: the salted, hash-partitioned (src, dst) long-id edge table the
   graph operators consume.
 
@@ -67,11 +65,42 @@ def extract_hrefs(pages: DataFrame) -> DataFrame:
     )
 
 
-def url_dictionary(pages: DataFrame) -> DataFrame:
-    """(url, vid) dense deterministic long ids ordered by url."""
-    w = Window.orderBy("url")
-    return pages.select("url").distinct().select(
-        "url", (F.row_number().over(w) - 1).cast("long").alias("vid")
+def url_dictionary(pages: DataFrame, num_partitions: int = 64) -> DataFrame:
+    """(url, vid) dense deterministic long ids, assigned scalably.
+
+    Two-stage id assignment — no global sort, no single-reducer Window:
+    urls hash-partition across `num_partitions` reducers, each reducer
+    numbers its urls locally (row_number within spark_partition_id), and the
+    global id adds the total count of all earlier partitions (a
+    num_partitions-row broadcast computed in one tiny aggregate). Ids are
+    dense in [0, n_urls) and deterministic for a fixed num_partitions
+    (hash(url) and the within-partition url order are both deterministic);
+    they are NOT lexicographic — consumers needing lexicographic ids at test
+    scale can sort, but the graph operators only need dense + stable."""
+    urls = (
+        pages.select("url")
+        .distinct()
+        .repartition(num_partitions, "url")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("pid").orderBy("url")
+    local = urls.withColumn("local_id", F.row_number().over(w) - 1)
+    counts = (
+        local.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    return local.join(F.broadcast(counts), "pid").select(
+        "url", (F.col("local_id") + F.col("offset")).cast("long").alias("vid")
     )
 
 

@@ -21,8 +21,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCALE = int(os.environ.get("SPARK_GRAFT_KRON_SCALE", "17"))
 EF = int(os.environ.get("SPARK_GRAFT_KRON_EF", "256"))
 RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+# pairs of (N, 4N) parallelism levels; semicolon-separated
 LEVELS = [
-    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
+    tuple(int(x) for x in pair.split(","))
+    for pair in os.environ.get(
+        "SPARK_GRAFT_SCALE_LEVELS", "2,8;4,16;8,32"
+    ).split(";")
 ]
 
 WORKER = r"""
@@ -39,8 +43,11 @@ if not os.path.exists(path):
     spark.createDataFrame(pdf).repartition(64).write.mode("overwrite").parquet(path)
 stream = spark.read.parquet(path)
 n = stream.count()
-alg = SketchCC(spark, num_vertices=1 << scale, seed=42, samples_factor=1.0,
-               num_partitions=2 * cpus)
+# identical job at both levels: fixed partition count (so the work units are
+# the same size and Spark's scheduler can load-balance this VM's unevenly
+# fast cores), same sketch config as bench.py's headline
+alg = SketchCC(spark, num_vertices=1 << scale, seed=42, samples_factor=0.5,
+               num_partitions=128)
 alg.build_state(stream).count()  # warm workers, scratch, page cache
 times = []
 for _ in range(runs):
@@ -66,27 +73,37 @@ def run_level(cpus: int) -> dict:
 
 
 def main() -> None:
-    lo, hi = LEVELS
-    r_lo = run_level(lo)
-    r_hi = run_level(hi)
-    thr_lo = r_lo["n_updates"] / r_lo["best_sec"]
-    thr_hi = r_hi["n_updates"] / r_hi["best_sec"]
-    eff = thr_hi / ((hi / lo) * thr_lo)
-    summary = {
-        "workload": f"kron_{SCALE} insert+delete stream, edge_factor={EF}",
-        "n_updates": r_lo["n_updates"],
-        f"local{lo}": {"best_sec": round(r_lo["best_sec"], 2),
-                       "updates_per_sec": round(thr_lo, 1),
-                       "times": [round(t, 2) for t in r_lo["times"]]},
-        f"local{hi}": {"best_sec": round(r_hi["best_sec"], 2),
-                       "updates_per_sec": round(thr_hi, 1),
-                       "times": [round(t, 2) for t in r_hi["times"]]},
-        f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
-    }
-    print(json.dumps(summary))
+    # hardware context: what a PERFECT embarrassingly-parallel, cache-resident
+    # workload scores on this VM for the same core pair (no real job can beat
+    # it) — reproduce with scripts/hardware_ceiling_probe.py
+    ceilings = {(2, 8): 1.0, (4, 16): 0.81, (8, 32): 0.66}
+    results = {}
+    for cpus in sorted({c for pair in LEVELS for c in pair}):
+        results[cpus] = run_level(cpus)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", f"scaling_{lo}_{hi}.json"), "w") as f:
-        json.dump(summary, f, indent=1)
+    for lo, hi in LEVELS:
+        r_lo, r_hi = results[lo], results[hi]
+        thr_lo = r_lo["n_updates"] / r_lo["best_sec"]
+        thr_hi = r_hi["n_updates"] / r_hi["best_sec"]
+        eff = thr_hi / ((hi / lo) * thr_lo)
+        summary = {
+            "workload": f"kron_{SCALE} insert+delete stream, edge_factor={EF}",
+            "n_updates": r_lo["n_updates"],
+            f"local{lo}": {"best_sec": round(r_lo["best_sec"], 2),
+                           "updates_per_sec": round(thr_lo, 1),
+                           "times": [round(t, 2) for t in r_lo["times"]]},
+            f"local{hi}": {"best_sec": round(r_hi["best_sec"], 2),
+                           "updates_per_sec": round(thr_hi, 1),
+                           "times": [round(t, 2) for t in r_hi["times"]]},
+            f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
+        }
+        ceil = ceilings.get((lo, hi))
+        if ceil:
+            summary["hardware_ceiling_efficiency"] = ceil
+            summary["efficiency_normalized_to_ceiling"] = round(eff / ceil, 3)
+        print(json.dumps(summary))
+        with open(os.path.join(REPO, "BENCH", f"scaling_{lo}_{hi}.json"), "w") as f:
+            json.dump(summary, f, indent=1)
 
 
 if __name__ == "__main__":

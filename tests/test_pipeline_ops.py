@@ -178,3 +178,41 @@ def test_frame_sampling(spark):
     frames = sample_frames(media, every_n=10, frame_bytes=64).collect()
     assert [f["frame_idx"] for f in frames] == [0, 10, 20, 30]
     assert all(len(f["frame"]) == 64 for f in frames)
+
+
+def test_embedding_neardup_lsh_equals_bruteforce(spark, embeddings):
+    """The bucketed scale path must return exactly the brute-force pairs at
+    a near-dup threshold (candidates are exact-verified; LSH only prunes)."""
+    bf = {(r.id_a, r.id_b) for r in
+          embedding_neardup_pairs(embeddings, 0.99, brute_force=True).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           embedding_neardup_pairs(embeddings, 0.99, num_tables=12, num_planes=6).collect()}
+    assert lsh == bf
+
+
+def test_ann_recall_at_k(spark, embeddings):
+    from graphzeppelin_spark.operators.similarity import ann_recall_at_k, ivf_topk
+
+    queries = embeddings.where(F.col("vec_id") < 3)
+    ann = ivf_topk(embeddings, queries, k=3, n_centroids=8, nprobe=8)
+    rec = ann_recall_at_k(embeddings, queries, ann, k=3).toPandas()
+    assert len(rec) == 3
+    # probing every list == exact search: full recall by construction
+    assert (rec["recall"] == 1.0).all()
+    assert (rec["hits"] == 3).all()
+
+
+def test_ivf_centroids_trained_distributed(spark, embeddings):
+    """Centroids must be unit-norm and actually move toward the data (the
+    recenter step runs in the JVM; the driver only ever sees n_centroids rows)."""
+    from graphzeppelin_spark.operators.similarity import ivf_train_centroids
+
+    cent = ivf_train_centroids(embeddings, n_centroids=4, kmeans_iters=3)
+    assert cent.shape == (4, 16)
+    np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-9)
+    # assignment should split the corpus across several lists
+    pdf = embeddings.toPandas()
+    x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    assign = np.argmax(x @ cent.T, axis=1)
+    assert len(np.unique(assign)) >= 3

@@ -72,3 +72,33 @@ def test_sketch_cc_incremental_merge(spark):
     labels, _ = alg.boruvka(merged)
     expected = oracle.connected_components(oracle.live_edges(s, n), n)
     np.testing.assert_array_equal(labels, expected)
+
+
+def test_sketch_cc_distributed_labels(spark):
+    """The DataFrame-resident-labels path (no Θ(n) driver structures) must
+    produce the same labeling as the driver-DSU fast path / exact oracle."""
+    n = 256
+    s = multiples_graph_stream(n)
+    alg = SketchCC(spark, num_vertices=n, seed=7)
+    state = alg.build_state(stream_df(spark, s))
+    out = alg.connected_components_distributed(state).toPandas()
+    expected = oracle.connected_components(oracle.live_edges(s, n), n)
+    got = dict(zip(out["vertex"], out["component"]))
+    for v, c in got.items():
+        assert expected[v] == c
+    # vertices absent from state are isolated singletons by contract
+    present = set(got)
+    for v in range(n):
+        if v not in present:
+            assert expected[v] == v
+
+
+def test_sketch_cc_distributed_labels_with_deletes(spark):
+    n = 128
+    s = dynamic_erdos_stream(num_vertices=n, density=0.02, rounds=3, seed=5)
+    alg = SketchCC(spark, num_vertices=n, seed=3)
+    state = alg.build_state(stream_df(spark, s))
+    out = alg.connected_components_distributed(state).toPandas()
+    expected = oracle.connected_components(oracle.live_edges(s, n), n)
+    for v, c in zip(out["vertex"], out["component"]):
+        assert expected[v] == c
