@@ -88,19 +88,21 @@ def main() -> None:
     # untimed warm-up: spawns python workers, faults in per-worker scratch,
     # warms the parquet scan — we report sustained steady-state throughput,
     # like the reference's looped benchmarks; best-of-2 to damp box noise
-    spark.catalog.clearCache()
-    warm = alg.build_state(stream)  # full width: every worker + partition warmed
-    warm.count()
+    from graphzeppelin_spark.session import aqe_off
 
+    spark.catalog.clearCache()
     runs = []
     state = None
-    for i in range(2):
-        if state is not None:
-            state.unpersist()
-        t0 = time.time()
-        state = alg.build_state(stream).persist()
-        state.count()
-        runs.append(time.time() - t0)
+    with aqe_off(spark):  # ingest shuffles are few/large/fixed-width
+        warm = alg.build_state(stream)  # full width: every worker + partition warmed
+        warm.count()
+        for i in range(2):
+            if state is not None:
+                state.unpersist()
+            t0 = time.time()
+            state = alg.build_state(stream).persist()
+            state.count()
+            runs.append(time.time() - t0)
     ingest_s = min(runs)
     upd_per_sec = n_updates / ingest_s
     log(f"kron_{KRON_SCALE} ingest: {n_updates} updates in {ingest_s:.2f}s "

@@ -225,6 +225,17 @@ class SketchCC:
         driver memory bounded (the reference's whole query is in-memory; we
         only drop down when it provably fits).
         """
+        from graphzeppelin_spark.session import aqe_off
+
+        with aqe_off(self.spark):
+            return self._boruvka_impl(state, max_rounds, driver_finish_bytes)
+
+    def _boruvka_impl(
+        self,
+        state: DataFrame,
+        max_rounds: int | None,
+        driver_finish_bytes: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
         g = self.geom
         n = self.num_vertices
         budget = g.num_samples if max_rounds is None else min(max_rounds, g.num_samples)

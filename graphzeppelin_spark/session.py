@@ -35,14 +35,14 @@ def get_spark(
         except (TypeError, ValueError):
             shuffle_partitions = 32
 
-    # AQE default: OFF in this single-JVM sandbox, measured, not assumed —
-    # on the kron_17 ingest aggregation local[32] runs 19.2s with AQE on
-    # (any advisory size 2-32m; coalescing off still 11.2s) vs 3.9s with AQE
-    # off: the per-query-stage materialization serializes short stages long
-    # before runtime re-planning pays for itself at this data scale. On a
-    # real multi-executor cluster at 100TB, re-enable it (skew-join splitting
-    # + partition coalescing win there): SPARK_GRAFT_AQE=1.
-    aqe = os.environ.get("SPARK_GRAFT_AQE", "0") == "1"
+    # AQE default: ON — iterative small-shuffle queries (star-contraction CC,
+    # unrolled PageRank) rely on its partition coalescing (measured 12x
+    # slower without it at sf0.1). The big one-pass sketch-ingest shuffles
+    # are the opposite case: AQE's per-query-stage materialization costs 5x
+    # there (kron_17 agg: 19.2s on vs 3.9s off at local[32], any advisory
+    # size) — so the sketch hot paths disable it per-action via aqe_off()
+    # below. Both effects are measured on this VM, not assumed.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "1") == "1"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -70,3 +70,25 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+class aqe_off:
+    """Disable adaptive execution around a block of Spark ACTIONS.
+
+    AQE is read at query-execution time, so wrapping the action (not the
+    plan construction) is what matters. The sketch ingest/query paths use
+    this: their shuffles are few, large, and fixed-width, where AQE's
+    query-stage materialization costs ~5x (see get_spark); the rest of the
+    engine keeps AQE's coalescing."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.adaptive.enabled", self.prev)
+        return False

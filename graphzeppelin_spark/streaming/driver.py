@@ -78,6 +78,8 @@ class GraphStreamDriver:
     def _apply_batch(self, lo: int, hi: int) -> None:
         import time
 
+        from graphzeppelin_spark.session import aqe_off
+
         t0 = time.time()
         batch = self.stream.where((F.col("seq") >= lo) & (F.col("seq") < hi))
         delta = self.alg.build_state(batch)
@@ -85,24 +87,27 @@ class GraphStreamDriver:
             new_state = delta
         else:
             new_state = self.alg.merge_states(self.state, delta)
-        if self.store is not None:
-            snap = self.store.commit(
-                new_state,
-                {
-                    "seed": self.seed,
-                    "num_vertices": self.num_vertices,
-                    "variant": self.variant,
-                    "seq_watermark": hi,
-                    "dsu_valid": False,  # reheat always requires a fresh query
-                    "ingest_metrics": self.metrics[-20:],
-                },
-            )
-            new_state, _ = self.store.read(snap)  # clean lineage from disk
-        else:
-            new_state = new_state.localCheckpoint(eager=True)
-        if self.state is not None:
-            self.state.unpersist()
-        self.state = new_state.persist()
+        # the ingest shuffles are few/large/fixed-width: AQE off for the
+        # materializing action (see session.aqe_off)
+        with aqe_off(self.spark):
+            if self.store is not None:
+                snap = self.store.commit(
+                    new_state,
+                    {
+                        "seed": self.seed,
+                        "num_vertices": self.num_vertices,
+                        "variant": self.variant,
+                        "seq_watermark": hi,
+                        "dsu_valid": False,  # reheat always requires a fresh query
+                        "ingest_metrics": self.metrics[-20:],
+                    },
+                )
+                new_state, _ = self.store.read(snap)  # clean lineage from disk
+            else:
+                new_state = new_state.localCheckpoint(eager=True)
+            if self.state is not None:
+                self.state.unpersist()
+            self.state = new_state.persist()
         wall = time.time() - t0
         self.metrics.append(
             {

@@ -48,10 +48,12 @@ n = stream.count()
 # fast cores), same sketch config as bench.py's headline
 alg = SketchCC(spark, num_vertices=1 << scale, seed=42, samples_factor=0.5,
                num_partitions=128)
-alg.build_state(stream).count()  # warm workers, scratch, page cache
+from graphzeppelin_spark.session import aqe_off
 times = []
-for _ in range(runs):
-    t0 = time.time(); alg.build_state(stream).count(); times.append(time.time() - t0)
+with aqe_off(spark):
+    alg.build_state(stream).count()  # warm workers, scratch, page cache
+    for _ in range(runs):
+        t0 = time.time(); alg.build_state(stream).count(); times.append(time.time() - t0)
 import json
 print("RESULT " + json.dumps({"cpus": cpus, "n_updates": n, "times": times,
                               "best_sec": min(times)}))
