@@ -14,6 +14,7 @@ with numpy-vectorized pandas/Arrow UDFs only for the sketch algebra that Spark
 cannot express natively. Nothing is ported from the reference's C++ engine.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-from graphzeppelin_spark.session import get_spark  # noqa: F401
+from graphzeppelin_spark.config import DriverConfig, SketchConfig  # noqa: F401
+from graphzeppelin_spark.session import aqe_off, get_spark  # noqa: F401

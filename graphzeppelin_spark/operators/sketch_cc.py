@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from graphzeppelin_spark.config import SketchConfig
 from graphzeppelin_spark.sketch.dsu import NumpyDSU
 from graphzeppelin_spark.sketch.kernel import (
     GOOD,
@@ -86,7 +87,14 @@ class SketchCC:
         variant: str = "cameo",
         samples_factor: float = 1.0,
         num_partitions: int | None = None,
+        config: "SketchConfig | None" = None,
     ):
+        if config is not None:  # unified config surface (config.SketchConfig)
+            seed, variant, samples_factor = (
+                config.seed,
+                config.variant,
+                config.samples_factor,
+            )
         self.spark = spark
         self.num_vertices = num_vertices
         self.geom = SketchGeometry(

@@ -10,7 +10,18 @@ Storage is parquet directories under a root path, one per snapshot id, with a
 JSON metadata sidecar — the same snapshot/lineage semantics an Iceberg table
 would give (this sandbox has no Iceberg jars; the layout is deliberately
 Iceberg-shaped: immutable snapshot dirs + metadata, atomically published by
-writing the metadata file last)."""
+writing the metadata file last).
+
+Reference-checkpoint interchange: this engine deliberately CANNOT reheat a
+reference write_binary file. The reference serializes GF(2)/XXH3 bucket
+state; this engine's kernel is an independent re-derivation over Z/2^64
+with splitmix64 hashing (sketch/kernel.py), so a reference bucket array is
+not meaningful input here (and vice versa) — the two states are sketches of
+the same stream under different hash families. Interchange happens at the
+STREAM level, which both sides define identically: sources/stream.py reads
+the reference's binary and ascii stream formats byte-compatibly, so any
+reference workload replays into this engine and reaches an equivalent
+(exactly-queryable) state."""
 
 from __future__ import annotations
 

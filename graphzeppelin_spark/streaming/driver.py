@@ -24,6 +24,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphzeppelin_spark.config import DriverConfig, SketchConfig
 from graphzeppelin_spark.operators.sketch_cc import SketchCC
 from graphzeppelin_spark.sketch.dsu import NumpyDSU
 from graphzeppelin_spark.streaming.checkpoint import CheckpointStore
@@ -40,7 +41,15 @@ class GraphStreamDriver:
         checkpoint_dir: str | None = None,
         eager: bool = True,
         eager_batch_limit: int = 500_000,
+        config: "DriverConfig | None" = None,
+        sketch_config: "SketchConfig | None" = None,
     ):
+        if sketch_config is not None:
+            seed, variant = sketch_config.seed, sketch_config.variant
+        if config is not None:  # unified config surface (config.DriverConfig)
+            checkpoint_dir = config.checkpoint_dir
+            eager = config.eager
+            eager_batch_limit = config.eager_batch_limit
         self.spark = spark
         self.stream = stream
         self.num_vertices = num_vertices

@@ -97,3 +97,28 @@ def test_micro_batched_ingest_matches_oneshot(spark):
     drv.process_stream_until(len(s), batch_size=max(1, len(s) // 7))
     expected = oracle.connected_components(oracle.live_edges(s, n), n)
     np.testing.assert_array_equal(drv.connected_components(), expected)
+
+
+def test_unified_config_surface(spark):
+    """CCAlgConfiguration/DriverConfiguration analog: the dataclass configs
+    must drive the same knobs as the keyword arguments."""
+    from graphzeppelin_spark.config import DriverConfig, SketchConfig
+    from graphzeppelin_spark.operators.sketch_cc import SketchCC
+    from graphzeppelin_spark.streaming.driver import GraphStreamDriver
+    from graphzeppelin_spark.sources.generators import multiples_graph_stream
+    from tests.conftest import stream_df
+
+    sc = SketchConfig(seed=11, variant="cubesketch", samples_factor=0.7)
+    alg = SketchCC(spark, num_vertices=64, config=sc)
+    assert alg.geom.seed == 11
+    assert alg.geom.variant == "cubesketch"
+    assert alg.geom.samples_factor == 0.7
+
+    s = multiples_graph_stream(64)
+    drv = GraphStreamDriver(
+        spark, stream_df(spark, s), num_vertices=64,
+        sketch_config=SketchConfig(seed=11),
+        config=DriverConfig(eager=False, eager_batch_limit=10),
+    )
+    assert drv.seed == 11 and drv.eager is False
+    assert drv.eager_batch_limit == 10
