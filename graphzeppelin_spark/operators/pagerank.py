@@ -28,11 +28,19 @@ def pagerank_df(
     max_iters: int = 100,
     num_iters: int | None = None,
     directed: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Return (v:long, score:double). Undirected edges contribute both ways.
 
     num_iters: run exactly that many iterations (lockstep with an unrolled SQL
     oracle); otherwise iterate until max |delta| < tol.
+
+    checkpoint_dir: commit the ranks table after every iteration (snapshot +
+    iteration/delta metadata + per-partition lineage, streaming/checkpoint.py)
+    and, if the directory already holds snapshots for the same (n, damping,
+    directed) run, RESUME from the last committed iteration instead of
+    starting over — the north_rule mid-convergence resumability, same
+    mechanism for a crashed job or an intentional two-phase run.
     """
     spark = edges.sparkSession
     verts = (vertices if vertices is not None else vertices_of(edges)).select(
@@ -54,11 +62,30 @@ def pagerank_df(
     )
     deg.count()
 
-    ranks = deg.select("v", F.lit(1.0 / n).alias("score"), "outdeg").persist()
+    store = None
+    start_iter = 0
+    ranks = None
+    if checkpoint_dir is not None:
+        from graphzeppelin_spark.streaming.checkpoint import CheckpointStore
+
+        store = CheckpointStore(spark, checkpoint_dir)
+        if store.latest_id() is not None:
+            snap, meta = store.read()
+            if (
+                meta.get("kind") == "pagerank"
+                and meta.get("n") == n
+                and meta.get("damping") == damping
+                and meta.get("directed") == directed
+            ):
+                ranks = snap.persist()
+                start_iter = int(meta["iteration"])
+
+    if ranks is None:
+        ranks = deg.select("v", F.lit(1.0 / n).alias("score"), "outdeg").persist()
     # one-time: if no vertex is dangling, skip the per-iteration mass collect
     has_dangling = deg.where(F.col("outdeg") == 0).limit(1).count() > 0
     iters = num_iters if num_iters is not None else max_iters
-    for _ in range(iters):
+    for _it in range(start_iter, iters):
         contribs = (
             directed_edges.join(ranks, directed_edges.src == ranks.v)
             .select(
@@ -95,6 +122,18 @@ def pagerank_df(
             )
         ranks.unpersist()
         ranks = new_ranks
+        if store is not None:
+            store.commit(
+                ranks,
+                {
+                    "kind": "pagerank",
+                    "iteration": _it + 1,
+                    "n": n,
+                    "damping": damping,
+                    "directed": directed,
+                    "delta": None if num_iters is not None else float(delta),
+                },
+            )
         if num_iters is None and delta < tol:
             break
     directed_edges.unpersist()

@@ -26,7 +26,7 @@ def main() -> None:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--upto", type=int, default=None, help="breakpoint seq (default: all)")
     p.add_argument("--batch-size", type=int, default=None)
-    p.add_argument("--query", choices=["cc", "forest", "none"], default="cc")
+    p.add_argument("--query", choices=["cc", "forest", "pagerank", "none"], default="cc")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
 
@@ -68,6 +68,20 @@ def main() -> None:
         out["num_components"] = int(len(np.unique(labels)))
     elif args.query == "forest":
         out["forest_edges"] = int(len(drv.spanning_forest()))
+    elif args.query == "pagerank":
+        from pyspark.sql import functions as F
+
+        from graphzeppelin_spark.functions.edges import live_edges_df
+        from graphzeppelin_spark.operators.pagerank import pagerank_df
+
+        pr_ck = f"{args.checkpoint}/pagerank" if args.checkpoint else None
+        scores = pagerank_df(
+            live_edges_df(stream.where(F.col("seq") < upto)), checkpoint_dir=pr_ck
+        )
+        out["pagerank_top"] = [
+            [int(r["v"]), float(r["score"])]
+            for r in scores.orderBy("score", ascending=False).limit(5).collect()
+        ]
     print(json.dumps(out))
 
 

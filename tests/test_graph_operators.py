@@ -133,3 +133,21 @@ def test_triangles_per_vertex_sums_to_3x(spark):
     total = oracle.triangle_count(edges_np, n)
     per_v = triangles_per_vertex_df(edges_df(spark, edges_np)).toPandas()
     assert per_v["tri"].sum() == 3 * total
+
+
+def test_pagerank_resumes_mid_convergence(spark, tmp_path):
+    """north_rule resumability: 6 iterations with per-iteration checkpoints,
+    then a fresh call resuming from the snapshot store, must equal one
+    straight 12-iteration run exactly."""
+    import numpy as np
+    from graphzeppelin_spark.sources.generators import multiples_graph_stream
+    from graphzeppelin_spark.functions import live_edges_df
+    from tests.conftest import stream_df
+
+    edges = live_edges_df(stream_df(spark, multiples_graph_stream(128)))
+    ck = str(tmp_path / "pr_ck")
+    pagerank_df(edges, num_iters=6, checkpoint_dir=ck)  # phase 1: crash here
+    resumed = pagerank_df(edges, num_iters=12, checkpoint_dir=ck).toPandas()
+    straight = pagerank_df(edges, num_iters=12).toPandas()
+    merged = resumed.merge(straight, on="v", suffixes=("_r", "_s"))
+    np.testing.assert_allclose(merged["score_r"], merged["score_s"], atol=1e-12)
