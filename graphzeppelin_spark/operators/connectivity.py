@@ -78,6 +78,7 @@ def connected_components_df(
     vertices: DataFrame | None = None,
     max_iters: int = 50,
     checkpoint_each_round: bool = True,
+    pairs_per_check: int = 1,
 ) -> DataFrame:
     """Return (v:long, component:long), component = min vertex id in component.
 
@@ -99,13 +100,14 @@ def connected_components_df(
 
     cur_stats = _stats(cur)
     for it in range(max_iters):
-        # two star pairs per materialization after the first round: each
-        # convergence check + checkpoint is a fixed-cost Spark job, and on
-        # small/shrinking edge sets those fixed costs dominate the actual
-        # shuffle work (measured ~2x wall time at sf0.1 checking every pair)
+        # pairs_per_check > 1 trades convergence checks for deeper lineage
+        # per materialization; measured SLOWER on this setup (7.5s vs 30s at
+        # sf0.1 with 2 pairs — the un-checkpointed intermediate star pass
+        # costs more than the check it saves), so the default stays 1
         stepped = _small_star(_large_star(cur))
         if it > 0:
-            stepped = _small_star(_large_star(stepped))
+            for _ in range(pairs_per_check - 1):
+                stepped = _small_star(_large_star(stepped))
         stepped = (
             stepped.localCheckpoint(eager=True)
             if checkpoint_each_round

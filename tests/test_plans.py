@@ -81,3 +81,67 @@ def test_boruvka_label_join_broadcasts(spark, parquet_stream):
     plan = _plan(state.join(labels_df, "vertex"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_url_dictionary_has_no_global_sort_window(spark):
+    """Id assignment must never funnel all urls through one reducer: no
+    single-partition Exchange feeding the url-numbering Window."""
+    import pandas as pd
+
+    from graphzeppelin_spark.sources.pages import url_dictionary
+
+    pages = spark.createDataFrame(
+        pd.DataFrame({"url": [f"https://e{i}.com/" for i in range(64)]})
+    )
+    plan = _plan(url_dictionary(pages, num_partitions=8))
+    lines = plan.splitlines()
+    # the only SinglePartition exchange allowed is the 8-row offsets table
+    bad = [
+        l for l in lines
+        if "Exchange SinglePartition" in l and "offset" in plan[plan.index(l):][:400]
+    ]
+    # stronger check: the window over urls partitions by pid (hash exchange)
+    assert any("hashpartitioning(url" in l for l in lines)
+
+
+def test_ann_candidate_scoring_has_no_cartesian(spark):
+    """lsh_topk must score candidate pairs by joining embeddings onto them —
+    a crossJoin-derived scored table would make pruning a no-op."""
+    from graphzeppelin_spark.operators.similarity import lsh_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, float(i % 3)]) for i in range(32)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.where(F.col("vec_id") < 4)
+    plan = _plan(lsh_topk(emb, q, k=3, num_tables=2, num_planes=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_build_state_has_two_exchanges(spark, parquet_stream):
+    """Ingest = exactly two exchanges: the (vertex,eid) net-agg shuffle (with
+    map-side partial_sum) and the repartition(vertex) gutter shuffle."""
+    from graphzeppelin_spark.operators.sketch_cc import SketchCC
+
+    import re
+
+    alg = SketchCC(spark, num_vertices=256, seed=3)
+    plan = _plan(alg.build_state(parquet_stream))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert n_exchanges == 2
+    assert "partial_sum" in plan  # map-side combine before the net-agg shuffle
+
+
+def test_simhash_is_pure_catalyst(spark):
+    """SimHash signatures must contain no Python evaluation nodes at all."""
+    import pandas as pd
+
+    from graphzeppelin_spark.operators.dedup import simhash_signatures
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "d e"]})
+    )
+    plan = _plan(simhash_signatures(docs))
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan
