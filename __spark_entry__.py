@@ -134,6 +134,79 @@ def q_triangle_count_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count_csr(_circulant_edges(spark, sf_dir))
 
 
+def q_component_sets_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference get_component_sets (return_types.cpp:23-30): component →
+    sorted member list, via the sketch path; members joined to a string so
+    the value hash is engine-portable."""
+    from graphzeppelin_spark.operators.sketch_cc import SketchCC
+
+    edges = _chain_edges(spark, sf_dir)
+    n = edges.agg(F.max("dst")).collect()[0][0] + 1
+    stream = edges.select(
+        F.monotonically_increasing_id().alias("seq"), F.lit(0).alias("type"), "src", "dst"
+    )
+    alg = SketchCC(spark, num_vertices=int(n), seed=42)
+    sets = alg.component_sets(alg.build_state(stream))
+    return sets.select(
+        "component",
+        F.array_join(
+            F.transform("members", lambda x: x.cast("string")), ","
+        ).alias("members"),
+    )
+
+
+def q_point_queries_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference point_query (cc_sketch_alg.cpp:570-612): connectivity of
+    chosen vertex pairs — (31,32) crosses a chain boundary, the others
+    don't."""
+    from graphzeppelin_spark.operators.sketch_cc import SketchCC
+
+    edges = _chain_edges(spark, sf_dir)
+    n = edges.agg(F.max("dst")).collect()[0][0] + 1
+    stream = edges.select(
+        F.monotonically_increasing_id().alias("seq"), F.lit(0).alias("type"), "src", "dst"
+    )
+    alg = SketchCC(spark, num_vertices=int(n), seed=42)
+    labels, _ = alg.boruvka(alg.build_state(stream))
+    import pandas as pd
+
+    pairs = [(1, 2), (31, 32), (32, 33), (33, 40)]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "a": [a for a, _ in pairs],
+                "b": [b for _, b in pairs],
+                "connected": [bool(labels[a] == labels[b]) for a, b in pairs],
+            }
+        )
+    )
+
+
+def q_k_spanning_forests_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference KSPANNINGFORESTS query (cc_sketch_alg.h:60-63): peel 2
+    edge-disjoint forests. Chains ARE forests, so forest 0 = every chain
+    edge and forest 1 is empty — exactly SQL-predictable."""
+    from graphzeppelin_spark.operators.sketch_cc import SketchCC
+
+    edges = _chain_edges(spark, sf_dir)
+    n = edges.agg(F.max("dst")).collect()[0][0] + 1
+    stream = edges.select(
+        F.monotonically_increasing_id().alias("seq"), F.lit(0).alias("type"), "src", "dst"
+    )
+    alg = SketchCC(spark, num_vertices=int(n), seed=42)
+    forests = alg.k_spanning_forests(alg.build_state(stream), k=2)
+    import pandas as pd
+
+    rows = []
+    for k, f in enumerate(forests):
+        for s, d in f:
+            rows.append((k, int(min(s, d)), int(max(s, d))))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "src", "dst"]),
+        schema="k int, src long, dst long",
+    )
+
+
 def q_spanning_forest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chains have a unique spanning forest (= every chain edge), so the
     sketch path's forest is exactly comparable."""
@@ -407,6 +480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex_circulant": q_triangles_per_vertex,
         "triangle_count_csr_circulant": q_triangle_count_csr,
         "spanning_forest_chain": q_spanning_forest_chain,
+        "component_sets_chain": q_component_sets_chain,
+        "point_queries_chain": q_point_queries_chain,
+        "k_spanning_forests_chain": q_k_spanning_forests_chain,
         "degrees_salted_chain": q_degrees_salted,
         "stream_parity_events": q_stream_parity,
         "dedup_exact": q_dedup_exact,
@@ -655,6 +731,33 @@ SELECT v, count(*) AS tri FROM flat GROUP BY v
 """,
         "spanning_forest_chain": f"""
 SELECT c_custkey - 1 AS src, c_custkey AS dst
+FROM customer WHERE c_custkey % {CHAIN_MOD} <> 0
+""",
+        "component_sets_chain": f"""
+WITH RECURSIVE {_CHAIN_SQL},
+walk(v, l) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT bi.dst AS v, walk.l FROM walk JOIN bi ON bi.src = walk.v
+),
+cc AS (SELECT v, MIN(l) AS component FROM walk GROUP BY v)
+SELECT component, array_to_string(list(v ORDER BY v), ',') AS members
+FROM cc GROUP BY component
+""",
+        "point_queries_chain": f"""
+WITH RECURSIVE {_CHAIN_SQL},
+walk(v, l) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT bi.dst AS v, walk.l FROM walk JOIN bi ON bi.src = walk.v
+),
+cc AS (SELECT v, MIN(l) AS component FROM walk GROUP BY v),
+pairs(a, b) AS (VALUES (1, 2), (31, 32), (32, 33), (33, 40))
+SELECT p.a, p.b, (ca.component = cb.component) AS connected
+FROM pairs p JOIN cc ca ON ca.v = p.a JOIN cc cb ON cb.v = p.b
+""",
+        "k_spanning_forests_chain": f"""
+SELECT CAST(0 AS INT) AS k, c_custkey - 1 AS src, c_custkey AS dst
 FROM customer WHERE c_custkey % {CHAIN_MOD} <> 0
 """,
         "degrees_salted_chain": f"""
