@@ -380,6 +380,22 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile(_t(spark, sf_dir, "documents"))
 
 
+WINNOW_K = 5
+WINNOW_W = 4
+
+
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (SIGMOD'03) — the substring-level
+    dedup primitive; bit-for-bit SQL twin in the oracle."""
+    from graphzeppelin_spark.functions.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        _t(spark, sf_dir, "documents").where(F.col("doc_id") < DOC_LIMIT),
+        k=WINNOW_K,
+        w=WINNOW_W,
+    )
+
+
 # ----------------------------------------------------------------- relational
 
 
@@ -495,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "text_profile": q_text_profile,
+        "text_winnow": q_text_winnow,
         "rel_scan_agg": q_rel_scan_agg,
         "rel_join_topk": q_rel_join_topk,
         "rel_window_last_event": q_rel_window_last_event,
@@ -809,6 +826,25 @@ ranked AS (
 SELECT query_id, neighbor_id, score FROM ranked WHERE rn <= 5
 """,
         "text_profile": _text_profile_oracle(),
+        "text_winnow": f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < {DOC_LIMIT}
+),
+kg AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(t) - {WINNOW_K - 1}, 1)),
+                        i -> ('0x' || substr(md5(substring(t, i, {WINNOW_K})), 1, 15))::BIGINT) AS hs
+  FROM norm
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(hs) - {WINNOW_W - 1}, 1)),
+                                      i -> list_min(hs[i : i + {WINNOW_W - 1}]))) AS fp_list
+  FROM kg
+)
+SELECT doc_id, unnest(fp_list) AS fp FROM fps
+""",
         "rel_scan_agg": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

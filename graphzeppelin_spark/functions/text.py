@@ -125,3 +125,42 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         language_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 5, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp) winnowing document fingerprints (Schleimer/Wilkerson/
+    Aiken, SIGMOD'03): hash every k-gram of the normalized text with a
+    rolling window position, keep the MINIMUM hash of each window of w
+    consecutive k-gram hashes, emit the distinct minima. Two documents
+    sharing any sufficiently long substring share fingerprints — the
+    plagiarism/near-dup detection primitive that md5-of-whole-text cannot
+    give.
+
+    100% Catalyst: the k-gram hash is md5-derived (first 15 hex chars as a
+    60-bit integer, same arithmetic an independent SQL engine reproduces —
+    see the text_winnow oracle), windows are array slices of the hash
+    sequence. Cost is O(len * w) expression work per doc — fine for
+    fingerprint-sized documents; a corpus of multi-MB blobs would move the
+    same algebra into a numpy mapInPandas with an O(len) deque minimum.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    # k-gram rolling hashes h[i], i = 1..len-k+1
+    hashes = F.expr(
+        f"transform(sequence(1, greatest(length({_norm_sql(text_col)}) - {k - 1}, 1)),"
+        f" i -> cast(conv(substring(md5(substring({_norm_sql(text_col)}, i, {k})), 1, 15), 16, 10) as bigint))"
+    )
+    # window minima: min(h[i..i+w-1]) for each window start
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(kgram_hashes) - {w - 1}, 1)),"
+        f" i -> array_min(slice(kgram_hashes, i, {w}))))"
+    )
+    return (
+        docs.select("doc_id", hashes.alias("kgram_hashes"))
+        .select("doc_id", F.explode(fps).alias("fp"))
+    )
+
+
+def _norm_sql(text_col: str) -> str:
+    return f"regexp_replace(trim(lower({text_col})), '\\\\s+', ' ')"

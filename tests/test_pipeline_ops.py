@@ -216,3 +216,18 @@ def test_ivf_centroids_trained_distributed(spark, embeddings):
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     assign = np.argmax(x @ cent.T, axis=1)
     assert len(np.unique(assign)) >= 3
+
+
+def test_winnowing_shared_substring_detection(spark, docs):
+    """Winnowing guarantee: exact duplicates share ALL fingerprints; docs
+    sharing a long substring (the 80% prefix mutations) share many; unrelated
+    docs share ~none."""
+    from graphzeppelin_spark.functions.text import winnowing_fingerprints
+
+    out = winnowing_fingerprints(docs).toPandas()
+    fps = {d: set(g["fp"]) for d, g in out.groupby("doc_id")}
+    for i in range(4):
+        assert fps[i] == fps[i + 100]          # exact dup
+        shared = len(fps[i] & fps[i + 200])    # prefix near-dup
+        assert shared >= max(2, len(fps[i + 200]) // 2)
+    assert len(fps[0] & fps[999]) == 0         # unrelated
