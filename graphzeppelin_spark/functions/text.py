@@ -146,10 +146,10 @@ def winnowing_fingerprints(
     same algebra into a numpy mapInPandas with an O(len) deque minimum.
     """
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
-    # k-gram rolling hashes h[i], i = 1..len-k+1
+    # k-gram rolling hashes h[i], i = 1..len-k+1, over the normalized column
     hashes = F.expr(
-        f"transform(sequence(1, greatest(length({_norm_sql(text_col)}) - {k - 1}, 1)),"
-        f" i -> cast(conv(substring(md5(substring({_norm_sql(text_col)}, i, {k})), 1, 15), 16, 10) as bigint))"
+        f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 1)),"
+        f" i -> cast(conv(substring(md5(substring(_norm, i, {k})), 1, 15), 16, 10) as bigint))"
     )
     # window minima: min(h[i..i+w-1]) for each window start
     fps = F.expr(
@@ -157,10 +157,7 @@ def winnowing_fingerprints(
         f" i -> array_min(slice(kgram_hashes, i, {w}))))"
     )
     return (
-        docs.select("doc_id", hashes.alias("kgram_hashes"))
+        docs.select("doc_id", norm.alias("_norm"))
+        .select("doc_id", hashes.alias("kgram_hashes"))
         .select("doc_id", F.explode(fps).alias("fp"))
     )
-
-
-def _norm_sql(text_col: str) -> str:
-    return f"regexp_replace(trim(lower({text_col})), '\\\\s+', ' ')"

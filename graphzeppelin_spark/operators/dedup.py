@@ -98,26 +98,37 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     n: int = 3,
     text_col: str = "text",
-    df_cap: int | None = None,
+    df_cap: int | str | None = "auto",
 ) -> DataFrame:
     """(doc_a, doc_b) pairs with shingle-Jaccard >= threshold (doc_a < doc_b).
 
-    Candidate pairs come from co-occurring shingles — optionally only
-    shingles in <= df_cap documents (skew bound: a shingle in most documents
-    fans out quadratically and carries no signal at sane thresholds) — and
-    the Jaccard test then recounts the intersection over the FULL shingle
-    sets, so the cap can only lose candidate pairs whose every common
-    shingle is ubiquitous, never misscore a surviving pair. No Spark action
-    runs at plan-construction time."""
+    Candidate pairs come from co-occurring shingles, restricted to shingles
+    in <= df_cap documents (skew bound ON by default: the candidate join is
+    quadratic in the document frequency of the hottest shingle, so one
+    stopword shingle would otherwise melt a reducer at corpus scale; a
+    shingle in most documents carries no signal at sane thresholds anyway).
+    df_cap="auto" caps at max(0.5 * n_docs, 100), computed inside the plan
+    (broadcast one-row count — no action at plan-construction time);
+    df_cap=None disables the bound (exact candidate generation, test-scale
+    only). The Jaccard test then recounts the intersection over the FULL
+    shingle sets, so the cap can only lose candidate pairs whose EVERY common
+    shingle is ubiquitous, never misscore a surviving pair."""
     sh = shingles(docs, n=n, text_col=text_col)
     sh_c = sh
     if df_cap is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= df_cap)
-            .select("shingle")
-        )
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        if df_cap == "auto":
+            ndocs = docs.select(F.count_distinct("doc_id").alias("n_docs"))
+            rare = (
+                dfreq.crossJoin(F.broadcast(ndocs))
+                .where(
+                    F.col("df")
+                    <= F.greatest(F.ceil(F.col("n_docs") * 0.5), F.lit(100))
+                )
+                .select("shingle")
+            )
+        else:
+            rare = dfreq.where(F.col("df") <= df_cap).select("shingle")
         sh_c = sh.join(rare, "shingle")
     a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")

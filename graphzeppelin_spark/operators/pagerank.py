@@ -65,9 +65,19 @@ def pagerank_df(
     store = None
     start_iter = 0
     ranks = None
+    edge_fp = None
+    iters = num_iters if num_iters is not None else max_iters
     if checkpoint_dir is not None:
         from graphzeppelin_spark.streaming.checkpoint import CheckpointStore
 
+        # order-independent edge-set fingerprint: a checkpoint dir reused
+        # across different graphs (same n) must NOT silently resume from the
+        # wrong ranks — count + summed hash identifies the edge set
+        fp_row = directed_edges.agg(
+            F.count("*").alias("m"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(30,0)")).alias("chk"),
+        ).collect()[0]
+        edge_fp = f"{fp_row['m']}:{fp_row['chk']}"
         store = CheckpointStore(spark, checkpoint_dir)
         if store.latest_id() is not None:
             snap, meta = store.read()
@@ -76,7 +86,14 @@ def pagerank_df(
                 and meta.get("n") == n
                 and meta.get("damping") == damping
                 and meta.get("directed") == directed
+                and meta.get("edge_fp") == edge_fp
             ):
+                if int(meta["iteration"]) > iters:
+                    raise ValueError(
+                        f"checkpoint at iteration {meta['iteration']} exceeds the "
+                        f"requested {iters} iterations; use a fresh checkpoint_dir "
+                        "or request more iterations"
+                    )
                 ranks = snap.persist()
                 start_iter = int(meta["iteration"])
 
@@ -84,7 +101,6 @@ def pagerank_df(
         ranks = deg.select("v", F.lit(1.0 / n).alias("score"), "outdeg").persist()
     # one-time: if no vertex is dangling, skip the per-iteration mass collect
     has_dangling = deg.where(F.col("outdeg") == 0).limit(1).count() > 0
-    iters = num_iters if num_iters is not None else max_iters
     for _it in range(start_iter, iters):
         contribs = (
             directed_edges.join(ranks, directed_edges.src == ranks.v)
@@ -131,6 +147,7 @@ def pagerank_df(
                     "n": n,
                     "damping": damping,
                     "directed": directed,
+                    "edge_fp": edge_fp,
                     "delta": None if num_iters is not None else float(delta),
                 },
             )

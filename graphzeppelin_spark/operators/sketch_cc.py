@@ -123,9 +123,13 @@ class SketchCC:
         the slice's occurrence-parity contribution, which is what makes
         toggle semantics compose with the linear merge of micro-batch deltas
         (an insert in batch k cancels a delete in batch k+1 bucket-for-bucket
-        when the states merge — the role XOR plays in the reference). A
-        malformed stream cannot corrupt buckets silently: |net| > 1 raises in
-        the JVM aggregate. Each undirected update hits both endpoints (the
+        when the states merge — the role XOR plays in the reference). The
+        |net| > 1 guard catches malformed updates WITHIN one stream slice; a
+        malformation split across separately built slices (e.g. two inserts of
+        one edge in different micro-batches, each netting +1) is invisible to
+        it and corrupts the merged state — cross-batch well-formedness is the
+        producer's contract, exactly as the reference's stream readers assume
+        an alternating stream per edge. Each undirected update hits both endpoints (the
         reference's double gutter insert, graph_sketch_driver.h:171-172) with
         the AGM signed-incidence convention: +eid at the lo endpoint, -eid at
         the hi endpoint — so summing a supernode's member sketches cancels
@@ -662,11 +666,23 @@ class SketchCC:
 
     def component_sets(self, state: DataFrame) -> DataFrame:
         """(component, members: sorted array) — reference get_component_sets
-        (return_types.cpp:23-30) as a groupBy + collect_list."""
+        (return_types.cpp:23-30).
+
+        collect_list is holistic (no map-side combine), so a web-scale giant
+        component would funnel every member row through one reducer; the
+        two-stage salted aggregation bounds any single reducer's fan-in at
+        ~|component|/salt rows (functions/skew.py). The OUTPUT row is still
+        O(|component|) by definition of this query — at 10^9-vertex scale use
+        connected_components' labeling instead; this materialized-set form
+        matches the reference API for result-set-sized components."""
+        from graphzeppelin_spark.functions.skew import salted_agg
+
         cc = self.connected_components(state)
-        return (
-            cc.groupBy("component")
-            .agg(F.sort_array(F.collect_list("v")).alias("members"))
+        return salted_agg(
+            cc,
+            ["component"],
+            {"part": F.collect_list("v")},
+            {"members": F.sort_array(F.flatten(F.collect_list("part")))},
         )
 
 

@@ -4,18 +4,25 @@ this engine: an embarrassingly parallel, L2-cache-resident uint64 hash loop
 processes with a start barrier. No real workload can scale better than this.
 
 Context for the north_rule scaling-efficiency evidence: on this Firecracker
-VM the ceiling itself measures ~0.80 for 8->32 (cores are unevenly fast and/or
-SMT-paired), so job efficiencies must be read against it, and the honest
-raw >=0.8 demonstration uses a core range where the ceiling is ~1.0 (2->8,
-4->16).
+VM the ceiling itself measured 0.66 for 8->32 and 0.81 for 4->16 (cores are
+unevenly fast and/or SMT-paired), so job efficiencies must be read against
+it, and the honest raw >=0.8 demonstration uses a core range where the
+ceiling is ~1.0 (2->8). Numbers vary per VM — run THIS probe on the target
+machine; results are saved to BENCH/hardware_ceiling.json, which
+scripts/scaling_bench.py reads instead of hardcoding.
 """
 
 from __future__ import annotations
 
+import json
 import multiprocessing as mp
+import os
 import time
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT_PATH = os.path.join(REPO, "BENCH", "hardware_ceiling.json")
 
 
 def _init(barrier):
@@ -51,9 +58,23 @@ def main() -> None:
         thr = run(p)
         base[p] = thr
         print(f"{p:2d}p: {thr/1e6:8.0f} M elem-ops/s aggregate", flush=True)
+    effs = {}
     for lo, hi in ((2, 8), (4, 16), (8, 32)):
         eff = base[hi] / (4 * base[lo])
+        effs[f"{lo}_to_{hi}"] = round(eff, 3)
         print(f"ceiling efficiency {lo}->{hi}: {eff:.3f}")
+    os.makedirs(os.path.dirname(OUT_PATH), exist_ok=True)
+    with open(OUT_PATH, "w") as f:
+        json.dump(
+            {
+                "note": "measured on THIS VM only; re-run the probe elsewhere",
+                "throughput_by_procs": {str(p): round(t, 1) for p, t in base.items()},
+                "ceiling_efficiency": effs,
+            },
+            f,
+            indent=1,
+        )
+    print(f"saved {OUT_PATH}")
 
 
 if __name__ == "__main__":

@@ -74,11 +74,26 @@ def run_level(cpus: int) -> dict:
     raise RuntimeError(f"no RESULT from cpus={cpus}")
 
 
+def _load_ceilings() -> dict[tuple[int, int], float]:
+    """Hardware context: what a PERFECT embarrassingly-parallel,
+    cache-resident workload scores on this VM for the same core pair (no real
+    job can beat it). Read from the probe's saved measurement
+    (BENCH/hardware_ceiling.json, written by hardware_ceiling_probe.py);
+    absent that, fall back to the values measured on the original build VM —
+    marked as such in the emitted JSON since they are meaningless elsewhere.
+    """
+    path = os.path.join(REPO, "BENCH", "hardware_ceiling.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            effs = json.load(f)["ceiling_efficiency"]
+        return {
+            tuple(int(x) for x in k.split("_to_")): v for k, v in effs.items()
+        }, "measured_by_probe_on_this_vm"
+    return {(2, 8): 1.0, (4, 16): 0.81, (8, 32): 0.66}, "original_build_vm_only"
+
+
 def main() -> None:
-    # hardware context: what a PERFECT embarrassingly-parallel, cache-resident
-    # workload scores on this VM for the same core pair (no real job can beat
-    # it) — reproduce with scripts/hardware_ceiling_probe.py
-    ceilings = {(2, 8): 1.0, (4, 16): 0.81, (8, 32): 0.66}
+    ceilings, ceiling_provenance = _load_ceilings()
     results = {}
     for cpus in sorted({c for pair in LEVELS for c in pair}):
         results[cpus] = run_level(cpus)
@@ -102,6 +117,7 @@ def main() -> None:
         ceil = ceilings.get((lo, hi))
         if ceil:
             summary["hardware_ceiling_efficiency"] = ceil
+            summary["hardware_ceiling_provenance"] = ceiling_provenance
             summary["efficiency_normalized_to_ceiling"] = round(eff / ceil, 3)
         print(json.dumps(summary))
         with open(os.path.join(REPO, "BENCH", f"scaling_{lo}_{hi}.json"), "w") as f:

@@ -151,3 +151,36 @@ def test_pagerank_resumes_mid_convergence(spark, tmp_path):
     straight = pagerank_df(edges, num_iters=12).toPandas()
     merged = resumed.merge(straight, on="v", suffixes=("_r", "_s"))
     np.testing.assert_allclose(merged["score_r"], merged["score_s"], atol=1e-12)
+
+
+def test_pagerank_checkpoint_guards(spark, tmp_path):
+    """A checkpoint dir reused for a DIFFERENT edge set (same n) must restart
+    fresh, not silently resume the wrong ranks; requesting fewer iterations
+    than already checkpointed must raise instead of returning over-iterated
+    scores."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from graphzeppelin_spark.sources.generators import multiples_graph_stream
+    from graphzeppelin_spark.functions import live_edges_df
+    from tests.conftest import stream_df
+
+    edges_a = live_edges_df(stream_df(spark, multiples_graph_stream(128)))
+    # graph B: same vertex universe, different edges (shift the chain)
+    edges_b = edges_a.select(
+        (F.col("src") + 1).alias("s0"), (F.col("dst") + 1).alias("d0")
+    ).select(
+        (F.col("s0") % 128).alias("src"), (F.col("d0") % 128).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    verts = edges_a.selectExpr("src as v").union(edges_a.selectExpr("dst as v")).union(
+        edges_b.selectExpr("src as v")
+    ).union(edges_b.selectExpr("dst as v")).distinct()
+    ck = str(tmp_path / "pr_guard_ck")
+    pagerank_df(edges_a, vertices=verts, num_iters=4, checkpoint_dir=ck)
+    got = pagerank_df(edges_b, vertices=verts, num_iters=4, checkpoint_dir=ck).toPandas()
+    fresh = pagerank_df(edges_b, vertices=verts, num_iters=4).toPandas()
+    merged = got.merge(fresh, on="v", suffixes=("_g", "_f"))
+    np.testing.assert_allclose(merged["score_g"], merged["score_f"], atol=1e-12)
+    # the B checkpoint now holds 4 iterations; asking for 2 must refuse
+    with _pytest.raises(ValueError, match="exceeds the requested"):
+        pagerank_df(edges_b, vertices=verts, num_iters=2, checkpoint_dir=ck)

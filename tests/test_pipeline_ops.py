@@ -73,6 +73,40 @@ def test_ngram_jaccard_matches_bruteforce(spark, docs):
     assert len(got) >= 8  # exact dups + prefix near-dups
 
 
+def test_ngram_jaccard_hub_shingle_capped(spark):
+    """A shingle present in EVERY document (the stopword-hub skew case) must
+    not reach the candidate join under the default auto-cap, and capping must
+    not lose real near-dup pairs (their doc-specific shingles survive)."""
+    rng = np.random.default_rng(11)
+    hub = " the common header every page shares "
+    rows = [
+        (
+            i,
+            hub
+            + " ".join(
+                "".join(rng.choice(list("abcdefghijklmnop"), size=8)) for _ in range(40)
+            ),
+        )
+        for i in range(240)
+    ]
+    rows.append((9000, rows[7][1]))  # exact duplicate of doc 7 → a true pair
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    capped = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, 0.6).collect()}
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, 0.6, df_cap=None).collect()
+    }
+    assert capped == uncapped
+    assert (7, 9000) in capped
+    # the hub shingles (df = 241 > max(0.5*241, 100)) are pruned from the
+    # candidate explode: candidate volume stays linear, not quadratic
+    from graphzeppelin_spark.operators.dedup import shingles
+
+    sh = shingles(docs)
+    dfreq = sh.groupBy("shingle").count()
+    n_hub = dfreq.where(F.col("count") > 121).count()
+    assert n_hub > 0  # the skew actually exists in this corpus
+
+
 def test_minhash_equals_exact_pairs(spark, docs):
     exact = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, 0.5).collect()}
     mh = {(r.doc_a, r.doc_b) for r in minhash_dedup_pairs(docs, 0.5).collect()}

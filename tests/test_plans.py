@@ -95,12 +95,11 @@ def test_url_dictionary_has_no_global_sort_window(spark):
     )
     plan = _plan(url_dictionary(pages, num_partitions=8))
     lines = plan.splitlines()
-    # the only SinglePartition exchange allowed is the 8-row offsets table
-    bad = [
-        l for l in lines
-        if "Exchange SinglePartition" in l and "offset" in plan[plan.index(l):][:400]
-    ]
-    # stronger check: the window over urls partitions by pid (hash exchange)
+    # the only SinglePartition exchange allowed is the one feeding the tiny
+    # (num_partitions rows) offsets window — urls themselves must never funnel
+    n_single = sum("Exchange SinglePartition" in l for l in lines)
+    assert n_single <= 1, f"{n_single} single-partition exchanges:\n{plan}"
+    # the window numbering urls partitions by pid (hash exchange, not global)
     assert any("hashpartitioning(url" in l for l in lines)
 
 
