@@ -396,6 +396,71 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ pages front-end
+
+PAGE_LIMIT = 200  # synthetic crawl size (docs 0..199)
+
+
+def _synthetic_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pages table (BASELINE.json input_hint shape: url,
+    warc_ts, html binary, text, lang) derived from documents so DuckDB can
+    construct the byte-identical html and twin the extraction. Page i links
+    to pages (3i+1)%L and (5i+2)%L plus one offsite url (dropped by
+    edge_table: targets outside the crawl are dangling)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < PAGE_LIMIT)
+
+    def u(e):
+        return F.concat(F.lit("https://ex.com/"), e.cast("string"))
+
+    html = F.concat(
+        F.lit('<html><head><title>p</title></head><body><a href="'),
+        u((F.col("doc_id") * 3 + 1) % PAGE_LIMIT),
+        F.lit('">x</a><article>'),
+        F.col("text"),
+        F.lit('</article><a href="'),
+        u((F.col("doc_id") * 5 + 2) % PAGE_LIMIT),
+        F.lit('">y</a><a href="https://offsite.example/z">z</a></body></html>'),
+    )
+    return d.select(
+        u(F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        F.col("text").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
+def q_pages_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The front-end's core invariant: extract_text(html) is byte-identical
+    to the stored text column, per url."""
+    from graphzeppelin_spark.sources.pages import extract_text
+
+    return extract_text(_synthetic_pages(spark, sf_dir))
+
+
+def q_pages_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pages→edges front-end (href extraction → dense url ids →
+    canonical deduped edge table), mapped back to urls so an independent
+    regexp_extract_all twin can verify the edge set (the dense ids themselves
+    are partition-order-dependent and checked in pytest)."""
+    from graphzeppelin_spark.sources.pages import edge_table, url_dictionary
+
+    pages = _synthetic_pages(spark, sf_dir)
+    d = url_dictionary(pages)
+    edges = edge_table(pages, url_dict=d)
+    su = d.select(F.col("vid").alias("src"), F.col("url").alias("src_u"))
+    du = d.select(F.col("vid").alias("dst"), F.col("url").alias("dst_u"))
+    return (
+        edges.join(su, "src")
+        .join(du, "dst")
+        .select(
+            F.least("src_u", "dst_u").alias("src_url"),
+            F.greatest("src_u", "dst_u").alias("dst_url"),
+        )
+        .distinct()
+    )
+
+
 # ----------------------------------------------------------------- relational
 
 
@@ -512,6 +577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "text_profile": q_text_profile,
         "text_winnow": q_text_winnow,
+        "pages_text_identity": q_pages_text_identity,
+        "pages_edges": q_pages_edges,
         "rel_scan_agg": q_rel_scan_agg,
         "rel_join_topk": q_rel_join_topk,
         "rel_window_last_event": q_rel_window_last_event,
@@ -844,6 +911,29 @@ fps AS (
   FROM kg
 )
 SELECT doc_id, unnest(fp_list) AS fp FROM fps
+""",
+        "pages_text_identity": f"""
+SELECT concat('https://ex.com/', doc_id) AS url, text AS extracted_text
+FROM documents WHERE doc_id < {PAGE_LIMIT}
+""",
+        "pages_edges": rf"""
+WITH pages AS (
+  SELECT concat('https://ex.com/', doc_id) AS url,
+         concat('<html><head><title>p</title></head><body><a href="https://ex.com/',
+                (doc_id * 3 + 1) % {PAGE_LIMIT}, '">x</a><article>', text,
+                '</article><a href="https://ex.com/', (doc_id * 5 + 2) % {PAGE_LIMIT},
+                '">y</a><a href="https://offsite.example/z">z</a></body></html>') AS html
+  FROM documents WHERE doc_id < {PAGE_LIMIT}
+),
+hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(html, '<a\s+[^>]*href="([^"]+)"', 1)) AS dst_url
+  FROM pages
+),
+inset AS (SELECT url FROM pages)
+SELECT DISTINCT least(src_url, dst_url) AS src_url, greatest(src_url, dst_url) AS dst_url
+FROM hrefs JOIN inset ON hrefs.dst_url = inset.url
+WHERE src_url <> dst_url
 """,
         "rel_scan_agg": """
 SELECT l_returnflag, l_linestatus,

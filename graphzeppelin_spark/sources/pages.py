@@ -37,19 +37,17 @@ _ARTICLE_RE = re.compile(r"<article>(.*?)</article>", re.S)
 
 @F.pandas_udf(T.StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
-    """Extract the article text from raw html bytes (vectorized over the batch)."""
-
-    def _one(b: bytes) -> str:
-        m = _ARTICLE_RE.search(b.decode("utf-8", errors="replace"))
-        return m.group(1) if m else ""
-
-    return html.map(_one)
+    """Extract the article text from raw html bytes — pandas' vectorized
+    .str regex path (no per-row Python lambda)."""
+    s = html.str.decode("utf-8", errors="replace").fillna("")
+    return s.str.extract(_ARTICLE_RE, expand=False).fillna("")
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def extract_hrefs_udf(html: pd.Series) -> pd.Series:
-    """All href targets in each page (vectorized regex findall per batch)."""
-    return html.map(lambda b: _HREF_RE.findall(b.decode("utf-8", errors="replace")))
+    """All href targets in each page — pandas' vectorized .str.findall."""
+    s = html.str.decode("utf-8", errors="replace").fillna("")
+    return s.str.findall(_HREF_RE)
 
 
 def extract_text(pages: DataFrame) -> DataFrame:
