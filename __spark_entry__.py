@@ -396,6 +396,83 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- multimodal
+
+MM_LIMIT = 150  # planted media corpus size
+MM_RATE = 8000  # planted WAV sample rate
+MM_SAMPLES = 2000  # planted WAV length
+
+
+def _planted_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, blob) real PNG blobs planted deterministically from doc_id:
+    a (12 + id%5) x (16 + id%9) grayscale image with pixel[j] =
+    (id*7 + j*13) % 256 — closed-form, so a SQL oracle can assert the decoded
+    width/height/mean without any image library."""
+    import numpy as np
+    import pandas as pd
+
+    from graphzeppelin_spark.operators.multimodal import encode_png
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < MM_LIMIT).select("doc_id")
+
+    def _mk(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                w, h = 16 + did % 9, 12 + did % 5
+                j = np.arange(w * h, dtype=np.int64)
+                px = ((did * 7 + j * 13) % 256).astype(np.uint8).reshape(h, w)
+                ids.append(did)
+                blobs.append(encode_png(px))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    return d.mapInPandas(_mk, schema="media_id long, blob binary")
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG decode gate: encode planted images, decode them with the
+    stdlib zlib+numpy PNG decoder, and emit dimensions + mean pixel — the
+    oracle recomputes all three in closed form."""
+    from graphzeppelin_spark.operators.multimodal import decode_image_meta
+
+    meta = decode_image_meta(_planted_png_media(spark, sf_dir))
+    return meta.select(
+        "media_id", "width", "height", F.round("mean_px", 6).alias("mean_px")
+    )
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV decode gate: planted PCM16 blobs with sample[j] =
+    ((id*31 + j*17) % 4096) - 2048; the oracle recomputes rate/frames/
+    duration/rms in closed form (all sums exact in doubles)."""
+    import numpy as np
+    import pandas as pd
+
+    from graphzeppelin_spark.operators.multimodal import decode_audio_meta, encode_wav
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < MM_LIMIT).select("doc_id")
+
+    def _mk(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                j = np.arange(MM_SAMPLES, dtype=np.int64)
+                s = (((did * 31 + j * 17) % 4096) - 2048).astype(np.int16)
+                ids.append(did)
+                blobs.append(encode_wav(s, sample_rate=MM_RATE))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    media = d.mapInPandas(_mk, schema="media_id long, blob binary")
+    meta = decode_audio_meta(media)
+    return meta.select(
+        "media_id",
+        "sample_rate",
+        "n_frames",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 # ------------------------------------------------------------ pages front-end
 
 PAGE_LIMIT = 200  # synthetic crawl size (docs 0..199)
@@ -579,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": q_text_winnow,
         "pages_text_identity": q_pages_text_identity,
         "pages_edges": q_pages_edges,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_audio": q_multimodal_audio,
         "rel_scan_agg": q_rel_scan_agg,
         "rel_join_topk": q_rel_join_topk,
         "rel_window_last_event": q_rel_window_last_event,
@@ -911,6 +990,29 @@ fps AS (
   FROM kg
 )
 SELECT doc_id, unnest(fp_list) AS fp FROM fps
+""",
+        "multimodal_meta": f"""
+SELECT doc_id AS media_id,
+       CAST(16 + doc_id % 9 AS INT) AS width,
+       CAST(12 + doc_id % 5 AS INT) AS height,
+       round(list_avg(list_transform(
+           range(0, CAST((16 + doc_id % 9) * (12 + doc_id % 5) AS BIGINT)),
+           j -> (doc_id * 7 + j * 13) % 256)), 6) AS mean_px
+FROM documents WHERE doc_id < {MM_LIMIT}
+""",
+        "multimodal_audio": f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(0, {MM_SAMPLES}),
+                        j -> ((doc_id * 31 + j * 17) % 4096) - 2048) AS sm
+  FROM documents WHERE doc_id < {MM_LIMIT}
+)
+SELECT doc_id AS media_id,
+       CAST({MM_RATE} AS INT) AS sample_rate,
+       CAST({MM_SAMPLES} AS BIGINT) AS n_frames,
+       round({MM_SAMPLES} / {MM_RATE}.0, 6) AS duration_sec,
+       round(sqrt(list_avg(list_transform(sm, x -> CAST(x AS DOUBLE) * x))), 6) AS rms
+FROM s
 """,
         "pages_text_identity": f"""
 SELECT concat('https://ex.com/', doc_id) AS url, text AS extracted_text

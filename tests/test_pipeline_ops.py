@@ -16,12 +16,6 @@ from graphzeppelin_spark.operators.dedup import (
     simhash_dedup_pairs,
     simhash_signatures,
 )
-from graphzeppelin_spark.operators.multimodal import (
-    decode_image_meta,
-    encode_fake_image,
-    resize_images,
-    sample_frames,
-)
 from graphzeppelin_spark.operators.similarity import cosine_topk, lsh_topk
 
 
@@ -189,29 +183,6 @@ def test_text_profile(spark, docs):
     # fingerprint equals for exact duplicate
     assert prof.loc[0, "fingerprint"] == prof.loc[100, "fingerprint"]
     assert prof.loc[999, "punct_ratio"] == 0.0
-
-
-def test_multimodal_roundtrip(spark):
-    rows = [(i, encode_fake_image(i, 16 + i, 8 + i)) for i in range(6)]
-    rows.append((99, b"NOTANIMAGE"))
-    rows.append((98, None))
-    media = spark.createDataFrame(rows, "media_id long, blob binary")
-    meta = decode_image_meta(media).toPandas().set_index("media_id")
-    assert meta.loc[0, "width"] == 16 and meta.loc[0, "height"] == 8
-    assert bool(meta.loc[0, "valid"]) and not bool(meta.loc[99, "valid"])
-    assert not bool(meta.loc[98, "valid"])
-    resized = resize_images(media, 8, 4)
-    meta2 = decode_image_meta(resized).toPandas().set_index("media_id")
-    assert meta2.loc[3, "width"] == 8 and meta2.loc[3, "height"] == 4
-    assert meta2.loc[99].isna()["width"]
-
-
-def test_frame_sampling(spark):
-    blob = bytes(range(256)) * 10  # 2560 bytes = 40 frames of 64
-    media = spark.createDataFrame([(1, blob)], "media_id long, blob binary")
-    frames = sample_frames(media, every_n=10, frame_bytes=64).collect()
-    assert [f["frame_idx"] for f in frames] == [0, 10, 20, 30]
-    assert all(len(f["frame"]) == 64 for f in frames)
 
 
 def test_embedding_neardup_lsh_equals_bruteforce(spark, embeddings):
