@@ -20,6 +20,8 @@ src/cc_sketch_alg.cpp:79-104):
 
 from __future__ import annotations
 
+from concurrent.futures import Future, ThreadPoolExecutor
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,6 +71,11 @@ class GraphStreamDriver:
         # track_insertions analog (reference tools/process_stream.cpp:27-61):
         # per-batch ingest metrics, also embedded in checkpoint metadata
         self.metrics: list[dict] = []
+        # query-during-ingest overlap: live snapshots pin their state DF so
+        # ingest's unpersist of a superseded state can't yank blocks out from
+        # under a concurrently running query (see snapshot())
+        self._pinned: dict[int, tuple[DataFrame, int]] = {}  # id -> (df, refs)
+        self._executor: ThreadPoolExecutor | None = None
 
     # ----------------------------------------------------------------- ingest
 
@@ -115,7 +122,7 @@ class GraphStreamDriver:
             else:
                 new_state = new_state.localCheckpoint(eager=True)
             if self.state is not None:
-                self.state.unpersist()
+                self._drop_state(self.state)
             self.state = new_state.persist()
         wall = time.time() - t0
         self.metrics.append(
@@ -167,6 +174,63 @@ class GraphStreamDriver:
                 if (s, d) in self._forest:
                     self._dsu_valid = False
                     return
+
+    # ------------------------------------------------- query-during-ingest
+
+    def _drop_state(self, df: DataFrame) -> None:
+        """Unpersist a superseded state unless a live snapshot pins it."""
+        if id(df) in self._pinned:
+            return  # released when the last snapshot referencing it closes
+        df.unpersist()
+
+    def _pin(self, df: DataFrame) -> None:
+        key = id(df)
+        held, refs = self._pinned.get(key, (df, 0))
+        self._pinned[key] = (held, refs + 1)
+
+    def _unpin(self, df: DataFrame) -> None:
+        key = id(df)
+        held, refs = self._pinned[key]
+        if refs > 1:
+            self._pinned[key] = (held, refs - 1)
+        else:
+            del self._pinned[key]
+            if held is not self.state:  # superseded while the snapshot ran
+                held.unpersist()
+
+    def snapshot(self) -> "StateSnapshot":
+        """Point-in-time query handle over the current state.
+
+        The Spark analog of the reference's pause/flush worker protocol
+        (worker_thread_group.h:136-161): there, queries run against a flushed
+        consistent state while reader threads keep buffering; here, the
+        persisted state DataFrame is immutable, so a snapshot simply pins the
+        current state + seq watermark and queries it — concurrently with
+        further process_stream_until() batches, which build NEW state DFs and
+        never mutate pinned ones. Spark schedules jobs submitted from
+        different driver threads concurrently, so a long Boruvka and the next
+        batch's build/merge genuinely overlap. Close the snapshot (or use it
+        as a context manager) to release its pin."""
+        snap = StateSnapshot(self, self.state, self.applied_seq)
+        if self.state is not None:
+            self._pin(self.state)
+        return snap
+
+    def connected_components_async(self) -> Future:
+        """Boruvka on a snapshot of the current state, on a background
+        thread; ingest may continue immediately. Returns a Future of the
+        labels array (as-of the snapshot's seq watermark)."""
+        snap = self.snapshot()
+        if self._executor is None:
+            self._executor = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="gz-query"
+            )
+
+        def _run():
+            with snap:
+                return snap.connected_components()
+
+        return self._executor.submit(_run)
 
     # ---------------------------------------------------------------- queries
 
@@ -230,3 +294,47 @@ class GraphStreamDriver:
         drv.applied_seq = meta["seq_watermark"]
         drv._dsu_valid = False  # reheat forces a fresh query
         return drv
+
+
+class StateSnapshot:
+    """Frozen (state, seq_watermark) view for queries that overlap ingest.
+
+    All queries answer as-of `seq_watermark`. The snapshot holds a pin on the
+    state DataFrame's cached blocks; close() (or context-manager exit)
+    releases it, at which point a superseded state is unpersisted."""
+
+    def __init__(self, driver: GraphStreamDriver, state: DataFrame | None, seq: int):
+        self._driver = driver
+        self._state = state
+        self.seq_watermark = seq
+        self._closed = False
+
+    def connected_components(self) -> np.ndarray:
+        if self._state is None:
+            return np.arange(self._driver.num_vertices, dtype=np.int64)
+        labels, _ = self._driver.alg.boruvka(self._state)
+        return labels
+
+    def spanning_forest(self) -> np.ndarray:
+        if self._state is None:
+            return np.empty((0, 2), dtype=np.int64)
+        _, forest = self._driver.alg.boruvka(self._state)
+        return forest
+
+    def point_query(self, a: int, b: int) -> bool:
+        labels = self.connected_components()
+        return bool(labels[a] == labels[b])
+
+    def num_components(self) -> int:
+        return int(len(np.unique(self.connected_components())))
+
+    def close(self) -> None:
+        if not self._closed and self._state is not None:
+            self._driver._unpin(self._state)
+        self._closed = True
+
+    def __enter__(self) -> "StateSnapshot":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

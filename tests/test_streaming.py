@@ -28,6 +28,45 @@ def test_query_during_stream_every_25pct(spark):
         np.testing.assert_array_equal(got, expected)
 
 
+def test_query_overlaps_ingest(spark):
+    """Reference pause/flush analog (worker_thread_group.h:136-161): a query
+    launched against a snapshot keeps running while the next micro-batch
+    folds; it answers as-of ITS watermark, the post-batch query as-of the
+    stream head — and the ingest's unpersist of the superseded state must not
+    break the in-flight query (the snapshot pins it)."""
+    n = 128
+    s = dynamic_erdos_stream(num_vertices=n, density=0.02, rounds=2, seed=21)
+    drv = GraphStreamDriver(spark, stream_df(spark, s), n, seed=7, eager=False)
+    half, full = len(s) // 2, len(s)
+    drv.process_stream_until(half)
+    fut = drv.connected_components_async()  # Boruvka on the half-stream state
+    drv.process_stream_until(full)  # ingest continues concurrently
+    got_half = fut.result(timeout=300)
+    exp_half = oracle.connected_components(oracle.live_edges(s, n, half), n)
+    np.testing.assert_array_equal(got_half, exp_half)
+    exp_full = oracle.connected_components(oracle.live_edges(s, n), n)
+    np.testing.assert_array_equal(drv.connected_components(), exp_full)
+    assert not drv._pinned  # snapshot released its pin after the query
+
+
+def test_snapshot_pins_superseded_state(spark):
+    """An open snapshot must keep answering from its own watermark even after
+    several further batches supersede (and would otherwise unpersist) its
+    state DataFrame."""
+    n = 128
+    s = dynamic_erdos_stream(num_vertices=n, density=0.02, rounds=2, seed=22)
+    drv = GraphStreamDriver(spark, stream_df(spark, s), n, seed=9, eager=False)
+    third = len(s) // 3
+    drv.process_stream_until(third)
+    with drv.snapshot() as snap:
+        drv.process_stream_until(2 * third, batch_size=max(third // 2, 1))
+        drv.process_stream_until(len(s))
+        exp_third = oracle.connected_components(oracle.live_edges(s, n, third), n)
+        np.testing.assert_array_equal(snap.connected_components(), exp_third)
+        assert snap.seq_watermark == third
+    assert not drv._pinned
+
+
 def test_eager_cache_insert_only(spark):
     """Insert-only stream: every query served from the eager DSU (no Boruvka)."""
     n = 256
