@@ -48,3 +48,35 @@ def test_ascii_roundtrip(spark, tmp_path):
     meta2, df2 = read_ascii_stream(spark, p2, has_types=False)
     assert df2.where("type != 0").count() == 0
     assert df2.count() == len(s)
+
+
+def test_import_reference_stream_roundtrip(spark, tmp_path):
+    """Migration path: reference binary stream file -> engine checkpoint via
+    scripts/import_reference_stream.py -> resume -> ingest the tail -> CC
+    matches the oracle. Closes the write_binary interchange gap at the
+    documented stream level."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from import_reference_stream import import_stream
+
+    from graphzeppelin_spark.sources.generators import dynamic_erdos_stream
+    from graphzeppelin_spark.streaming.driver import GraphStreamDriver
+
+    n = 128
+    s = dynamic_erdos_stream(num_vertices=n, density=0.02, rounds=2, seed=33)
+    p = str(tmp_path / "ref_stream.bin")
+    write_binary_stream(p, n, s)
+    ck = str(tmp_path / "ck")
+    upto = int(len(s) * 0.7)
+    summary = import_stream(spark, p, ck, fmt="binary", upto=upto)
+    assert summary["seq_watermark"] == upto
+    # resume from the imported snapshot and finish the stream
+    _, stream = read_binary_stream(spark, p)
+    drv = GraphStreamDriver.resume(spark, stream, ck)
+    assert drv.applied_seq == upto
+    exp_mid = oracle.connected_components(oracle.live_edges(s, n, upto), n)
+    np.testing.assert_array_equal(drv.connected_components(), exp_mid)
+    drv.process_stream_until(len(s))
+    expected = oracle.connected_components(oracle.live_edges(s, n), n)
+    np.testing.assert_array_equal(drv.connected_components(), expected)
