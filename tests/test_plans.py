@@ -83,6 +83,31 @@ def test_boruvka_label_join_broadcasts(spark, parquet_stream):
     assert "SortMergeJoin" not in plan
 
 
+def test_sampled_components_shuffle_is_pruned(spark, parquet_stream):
+    """The per-Boruvka-round exchange must carry only the round's pruned
+    slice blobs: Exchange hashpartitioning(root) sits BETWEEN the
+    prune+partial-sum python stage and the final sample stage — never
+    upstream of the prune, where it would shuffle full-width sketches. Holds
+    for both the driver-DSU and the distributed-labels path (both call
+    _sampled_components)."""
+    import numpy as np
+
+    from graphzeppelin_spark.operators.sketch_cc import SketchCC
+
+    alg = SketchCC(spark, num_vertices=256, seed=3)
+    state = alg.build_state(parquet_stream).localCheckpoint(eager=True)
+    labels_df = alg._labels_df(np.arange(256, dtype=np.int64), None)
+    plan = _plan(alg._sampled_components(state, labels_df, 0))
+    # formatted-explain details are numbered in execution order
+    i_partial = plan.index("_partial(")
+    i_exchange = plan.index("hashpartitioning(root")
+    i_final = plan.index("_final(")
+    assert i_partial < i_exchange < i_final, plan
+    # and the labels join itself is a broadcast (driver-DSU path labels)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_url_dictionary_has_no_global_sort_window(spark):
     """Id assignment must never funnel all urls through one reducer: no
     single-partition Exchange feeding the url-numbering Window."""
