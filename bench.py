@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "stream_parity_events",
     "dedup_exact",
     "text_profile",
+    "pages_edges",
+    "multimodal_meta",
     "dedup_simhash",
     "dedup_minhash",
     "ann_cosine_topk",

@@ -161,3 +161,62 @@ def winnowing_fingerprints(
         .select("doc_id", hashes.alias("kgram_hashes"))
         .select("doc_id", F.explode(fps).alias("fp"))
     )
+
+
+def winnowing_fingerprints_large(
+    docs: DataFrame, k: int = 5, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprints for LARGE documents — the numpy
+    scale path the Catalyst variant's docstring names: the O(len * w)
+    per-row expression algebra becomes one vectorized pass per document
+    inside an Arrow-batched mapInPandas.
+
+    Same algorithm (normalize → k-gram hash → window-of-w minima → distinct),
+    different hash: a base-257 polynomial over the utf-8 bytes finalized with
+    splitmix64 (vectorized; md5-per-gram would put a Python hashlib call in
+    the per-gram loop). Fingerprints are therefore NOT interchangeable with
+    winnowing_fingerprints' md5-derived ones — pick one variant per corpus;
+    the winnowing guarantee (shared substrings of length >= w + k - 1 share
+    a fingerprint) holds identically, tested in test_pipeline_ops."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    from graphzeppelin_spark.sketch.kernel import splitmix64
+
+    B = np.uint64(257)
+    ws_re = _re.compile(r"\s+")
+
+    def _fps_one(text: str) -> np.ndarray:
+        norm = ws_re.sub(" ", text.strip().lower())
+        b = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+        if len(b) < k:
+            b = np.pad(b, (0, k - len(b)))  # mirror the SQL greatest(.., 1)
+        n_grams = len(b) - k + 1
+        h = np.zeros(n_grams, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):  # k vectorized adds, not a per-gram loop
+                h = h * B + b[j : j + n_grams].astype(np.uint64)
+        h = splitmix64(h, 0)
+        if len(h) >= w:
+            mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+        else:
+            mins = h.min(keepdims=True)
+        return np.unique(mins)
+
+    def _run(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for did, text in zip(pdf["doc_id"], pdf[text_col]):
+                u = _fps_one(text or "")
+                ids.append(np.full(len(u), did, dtype=np.int64))
+                fps.append(u.view(np.int64))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids) if ids else np.array([], np.int64),
+                    "fp": np.concatenate(fps) if fps else np.array([], np.int64),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(_run, schema="doc_id long, fp long")

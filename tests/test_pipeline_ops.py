@@ -185,6 +185,49 @@ def test_text_profile(spark, docs):
     assert prof.loc[999, "punct_ratio"] == 0.0
 
 
+def test_winnowing_large_matches_reference_and_guarantee(spark):
+    """The numpy scale path must (a) equal a brute-force per-doc reference of
+    the same definition and (b) uphold the winnowing guarantee: documents
+    sharing a substring of length >= w + k - 1 share a fingerprint."""
+    from graphzeppelin_spark.functions.text import winnowing_fingerprints_large
+    from graphzeppelin_spark.sketch.kernel import splitmix64
+
+    k, w = 5, 4
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs_rows = [
+        (0, f"alpha beta {shared} gamma delta"),
+        (1, f"unrelated prefix text here {shared}"),
+        (2, "zzz completely different content qqq xyz abcdefgh"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(docs_rows, columns=["doc_id", "text"]))
+    got = winnowing_fingerprints_large(docs, k=k, w=w).toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in got.groupby("doc_id")}
+
+    def ref_fps(text):
+        import re
+
+        norm = re.sub(r"\s+", " ", text.strip().lower())
+        b = norm.encode("utf-8")
+        b = b + b"\x00" * max(k - len(b), 0)
+        hs = []
+        for i in range(len(b) - k + 1):
+            h = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for ch in b[i : i + k]:
+                    h = h * np.uint64(257) + np.uint64(ch)
+            hs.append(int(splitmix64(np.array([h], np.uint64), 0)[0]))
+        mins = [min(hs[i : i + w]) for i in range(max(len(hs) - w + 1, 1))]
+        return {int(np.int64(np.uint64(m))) for m in mins}
+
+    for d, text in docs_rows:
+        assert by_doc.get(d, set()) == ref_fps(text), f"doc {d} mismatch"
+    # guarantee: 0 and 1 share the long substring -> common fingerprints
+    assert by_doc[0] & by_doc[1]
+    # unrelated docs share nothing at this size
+    assert not (by_doc[0] & by_doc[2])
+
+
 def test_embedding_neardup_lsh_equals_bruteforce(spark, embeddings):
     """The bucketed scale path must return exactly the brute-force pairs at
     a near-dup threshold (candidates are exact-verified; LSH only prunes)."""
