@@ -104,6 +104,7 @@ def q_labelprop_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pagerank_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphzeppelin_spark.functions.text import round_portable
     from graphzeppelin_spark.operators.pagerank import pagerank_df
 
     out = pagerank_df(
@@ -112,7 +113,7 @@ def q_pagerank_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping=PR_DAMP,
         num_iters=PR_ITERS,
     )
-    return out.select("v", F.round("score", 9).alias("score"))
+    return out.select("v", round_portable(F.col("score"), 9).alias("score"))
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,11 +434,13 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real PNG decode gate: encode planted images, decode them with the
     stdlib zlib+numpy PNG decoder, and emit dimensions + mean pixel — the
     oracle recomputes all three in closed form."""
+    from graphzeppelin_spark.functions.text import round_portable
     from graphzeppelin_spark.operators.multimodal import decode_image_meta
 
     meta = decode_image_meta(_planted_png_media(spark, sf_dir))
     return meta.select(
-        "media_id", "width", "height", F.round("mean_px", 6).alias("mean_px")
+        "media_id", "width", "height",
+        round_portable(F.col("mean_px"), 6).alias("mean_px"),
     )
 
 
@@ -462,14 +465,16 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_wav(s, sample_rate=MM_RATE))
             yield pd.DataFrame({"media_id": ids, "blob": blobs})
 
+    from graphzeppelin_spark.functions.text import round_portable
+
     media = d.mapInPandas(_mk, schema="media_id long, blob binary")
     meta = decode_audio_meta(media)
     return meta.select(
         "media_id",
         "sample_rate",
         "n_frames",
-        F.round("duration_sec", 6).alias("duration_sec"),
-        F.round("rms", 6).alias("rms"),
+        round_portable(F.col("duration_sec"), 6).alias("duration_sec"),
+        round_portable(F.col("rms"), 6).alias("rms"),
     )
 
 
@@ -724,7 +729,7 @@ deg AS MATERIALIZED (
     ON cnt.src = verts.v
 ),
 {", ".join(iters)}
-SELECT v, ROUND(score, 9) AS score FROM r{PR_ITERS}
+SELECT v, {_rp("score", 9)} AS score FROM r{PR_ITERS}
 """
 
 
@@ -778,6 +783,13 @@ WHERE inter >= {JACCARD_T} * (sa.sz + sb.sz - inter)
 """
 
 
+def _rp(expr: str, digits: int) -> str:
+    """SQL twin of text.round_portable — floor(x*10^d + 0.5)/10^d, the only
+    rounding form two engines agree on at decimal ties over doubles."""
+    scale = 10**digits
+    return f"(floor(({expr}) * {scale}.0 + 0.5) / {scale}.0)"
+
+
 def _text_profile_oracle() -> str:
     from graphzeppelin_spark.functions.text import LANG_MARKERS, STOPWORDS
 
@@ -805,22 +817,24 @@ def _text_profile_oracle() -> str:
         branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
     lang_case = "CASE " + " ".join(branches) + " ELSE 'und' END"
     sw_sum = " + ".join(cnt(w) for w in STOPWORDS)
-    punct9 = (
-        "round((length(text) - length(translate(text, '.,!?;:', '')))"
-        " / greatest(length(text), 1), 9)"
+    punct_raw = (
+        "(length(text) - length(translate(text, '.,!?;:', '')))"
+        " / greatest(length(text), 1)"
     )
-    sw9 = f"round(({sw_sum}) / greatest({ntok}, 1), 9)"
-    quality = (
-        f"round(0.4 * least(length(text) / 500.0, 1.0)"
+    punct9 = _rp(punct_raw, 9)
+    sw9 = _rp(f"({sw_sum}) / greatest({ntok}, 1)", 9)
+    quality = _rp(
+        f"0.4 * least(length(text) / 500.0, 1.0)"
         f" + 0.3 * greatest(1.0 - abs({sw9} - 0.4) / 0.4, 0.0)"
-        f" + 0.3 * (1.0 - least({punct9} * 10, 1.0)), 6)"
+        f" + 0.3 * (1.0 - least({punct9} * 10, 1.0))",
+        6,
     )
     return f"""
 SELECT doc_id,
        {ntok} AS n_tokens,
        greatest({ntok}, CAST(ceil(length(text) / 4.0) AS BIGINT)) AS n_subword_tokens,
-       round((length(text) - length(translate(text, '.,!?;:', ''))) / greatest(length(text), 1), 6) AS punct_ratio,
-       round(({sw_sum}) / greatest({ntok}, 1), 6) AS stopword_ratio,
+       {_rp(punct_raw, 6)} AS punct_ratio,
+       {_rp(f"({sw_sum}) / greatest({ntok}, 1)", 6)} AS stopword_ratio,
        {quality} AS quality,
        {lang_case} AS lang_pred,
        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
@@ -995,9 +1009,9 @@ SELECT doc_id, unnest(fp_list) AS fp FROM fps
 SELECT doc_id AS media_id,
        CAST(16 + doc_id % 9 AS INT) AS width,
        CAST(12 + doc_id % 5 AS INT) AS height,
-       round(list_avg(list_transform(
+       {_rp('''list_avg(list_transform(
            range(0, CAST((16 + doc_id % 9) * (12 + doc_id % 5) AS BIGINT)),
-           j -> (doc_id * 7 + j * 13) % 256)), 6) AS mean_px
+           j -> (doc_id * 7 + j * 13) % 256))''', 6)} AS mean_px
 FROM documents WHERE doc_id < {MM_LIMIT}
 """,
         "multimodal_audio": f"""
@@ -1010,8 +1024,8 @@ WITH s AS (
 SELECT doc_id AS media_id,
        CAST({MM_RATE} AS INT) AS sample_rate,
        CAST({MM_SAMPLES} AS BIGINT) AS n_frames,
-       round({MM_SAMPLES} / {MM_RATE}.0, 6) AS duration_sec,
-       round(sqrt(list_avg(list_transform(sm, x -> CAST(x AS DOUBLE) * x))), 6) AS rms
+       {_rp(f"{MM_SAMPLES} / {MM_RATE}.0", 6)} AS duration_sec,
+       {_rp("sqrt(list_avg(list_transform(sm, x -> CAST(x AS DOUBLE) * x)))", 6)} AS rms
 FROM s
 """,
         "pages_text_identity": f"""

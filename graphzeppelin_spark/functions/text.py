@@ -48,10 +48,22 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.greatest(token_count(text), F.ceil(F.length(text) / F.lit(4.0)).cast("long"))
 
 
+def round_portable(col: Column, digits: int) -> Column:
+    """Cross-engine-deterministic rounding: floor(x * 10^d + 0.5) / 10^d.
+
+    Engines disagree on decimal HALF_UP ties over binary doubles (Spark
+    rounds the double's shortest decimal repr via BigDecimal; DuckDB rounds
+    the double itself — 0.5071125 famously splits them). floor, *, + are
+    single exact-or-correctly-rounded IEEE ops, so two engines holding the
+    SAME double always produce the same result here. Nonnegative inputs."""
+    scale = F.lit(float(10**digits))
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
 def punct_ratio(text: Column, digits: int = 6) -> Column:
     """Fraction of characters that are .,!?;: punctuation."""
     removed = F.translate(text, ".,!?;:", "")
-    return F.round(
+    return round_portable(
         (F.length(text) - F.length(removed)) / F.greatest(F.length(text), F.lit(1)),
         digits,
     )
@@ -63,7 +75,7 @@ def stopword_ratio(text: Column, digits: int = 6) -> Column:
     for w in STOPWORDS:
         c = _count_word(F.lower(text), w)
         sw = c if sw is None else sw + c
-    return F.round(sw / F.greatest(total, F.lit(1)), digits)
+    return round_portable(sw / F.greatest(total, F.lit(1)), digits)
 
 
 def quality_score(text: Column, digits: int = 6) -> Column:
@@ -73,7 +85,7 @@ def quality_score(text: Column, digits: int = 6) -> Column:
     sw = stopword_ratio(text, digits=9)
     sw_term = F.lit(1.0) - F.abs(sw - F.lit(0.4)) / F.lit(0.4)
     punct_term = F.lit(1.0) - F.least(punct_ratio(text, digits=9) * 10, F.lit(1.0))
-    return F.round(
+    return round_portable(
         0.4 * length_term + 0.3 * F.greatest(sw_term, F.lit(0.0)) + 0.3 * punct_term,
         digits,
     )
