@@ -2,9 +2,12 @@
 
 Times the headline contract queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
 and the kron-style insert+delete stream ingest (the BASELINE.json metric:
-sustained edge-updates/sec into the sketch state, plus CC convergence time).
+sustained edge-updates/sec into the sketch state, plus CC convergence time)
+at TWO input sizes: kron_15 (2.2M updates — round-over-round continuity)
+and kron_17 (31.6M updates — the scale-representative number: Spark's fixed
+stage overhead amortizes, which is the regime a 100TB deployment lives in).
 
-Headline value = sustained edge-updates/sec on the kron stream.
+Headline value = sustained edge-updates/sec on the kron_17 stream.
 
 Scaling evidence (north_rule, ≥0.8 efficiency N→4N): run this twice,
   SPARK_GRAFT_CPUS=8 python bench.py   vs   SPARK_GRAFT_CPUS=32 python bench.py
@@ -23,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 KRON_SCALE = int(os.environ.get("SPARK_GRAFT_KRON_SCALE", "15"))
 KRON_EDGE_FACTOR = int(os.environ.get("SPARK_GRAFT_KRON_EF", "64"))
-KRON_CACHE = f"/tmp/gz_bench_kron_{KRON_SCALE}_{KRON_EDGE_FACTOR}.parquet"
+# the at-scale ingest workload (headline); skip with SPARK_GRAFT_KRON17=0
+KRON17_SCALE = 17
+KRON17_EF = 256
 
 # cheap relational queries first: they double as the session warm-up (JVM
 # codegen, python workers, parquet footers) so the heavy graph queries are
@@ -72,74 +77,88 @@ def main() -> None:
         log(f"{name}: {times[name]}s ({n} rows)")
 
     # ---- kron insert+delete stream ingest (the headline metric) ----------
-    n_vertices = 1 << KRON_SCALE
-    if not os.path.exists(KRON_CACHE):
-        from graphzeppelin_spark.sources.generators import kron_stream
+    def kron_bench(scale: int, ef: int, tag: str) -> dict:
+        """Sustained ingest rate + sketch-CC time at one kron size. Untimed
+        warm-up first (python workers, per-worker scratch, parquet scan);
+        best-of-2 timed runs — we report sustained steady-state throughput,
+        like the reference's looped benchmarks."""
+        import numpy as np
 
-        pdf = kron_stream(scale=KRON_SCALE, edge_factor=KRON_EDGE_FACTOR, seed=42)
-        spark.createDataFrame(pdf).repartition(max(2 * cpus, 16)).write.mode(
-            "overwrite"
-        ).parquet(KRON_CACHE)
-    stream = spark.read.parquet(KRON_CACHE)
-    n_updates = stream.count()
+        from graphzeppelin_spark.operators.sketch_cc import SketchCC
+        from graphzeppelin_spark.session import aqe_off
 
-    from graphzeppelin_spark.operators.sketch_cc import SketchCC
+        cache = f"/tmp/gz_bench_kron_{scale}_{ef}.parquet"
+        if not os.path.exists(cache):
+            from graphzeppelin_spark.sources.generators import kron_stream
 
-    alg = SketchCC(
-        spark,
-        num_vertices=n_vertices,
-        seed=42,
-        samples_factor=0.5,
-        num_partitions=max(2 * cpus, 16),
-    )
-    # untimed warm-up: spawns python workers, faults in per-worker scratch,
-    # warms the parquet scan — we report sustained steady-state throughput,
-    # like the reference's looped benchmarks; best-of-2 to damp box noise
-    from graphzeppelin_spark.session import aqe_off
-
-    spark.catalog.clearCache()
-    runs = []
-    state = None
-    with aqe_off(spark):  # ingest shuffles are few/large/fixed-width
-        warm = alg.build_state(stream)  # full width: every worker + partition warmed
-        warm.count()
-        for i in range(2):
-            if state is not None:
-                state.unpersist()
             t0 = time.time()
-            state = alg.build_state(stream).persist()
-            state.count()
-            runs.append(time.time() - t0)
-    ingest_s = min(runs)
-    upd_per_sec = n_updates / ingest_s
-    log(f"kron_{KRON_SCALE} ingest: {n_updates} updates in {ingest_s:.2f}s "
-        f"= {upd_per_sec/1e6:.3f} M upd/s on local[{cpus}]")
-    times["kron_ingest"] = round(ingest_s, 3)
+            pdf = kron_stream(scale=scale, edge_factor=ef, seed=42)
+            spark.createDataFrame(pdf).repartition(max(2 * cpus, 16)).write.mode(
+                "overwrite"
+            ).parquet(cache)
+            log(f"kron_{scale} generated in {time.time() - t0:.0f}s (cached)")
+        stream = spark.read.parquet(cache)
+        n_updates = stream.count()
+        alg = SketchCC(
+            spark,
+            num_vertices=1 << scale,
+            seed=42,
+            samples_factor=0.5,
+            num_partitions=max(2 * cpus, 16) if scale <= 15 else 128,
+        )
+        spark.catalog.clearCache()
+        runs, state = [], None
+        with aqe_off(spark):  # ingest shuffles are few/large/fixed-width
+            alg.build_state(stream).count()  # warm-up, untimed
+            for _ in range(3):  # best-of-3: this VM's noise is 2-4x run-to-run
+                if state is not None:
+                    state.unpersist()
+                t0 = time.time()
+                state = alg.build_state(stream).persist()
+                state.count()
+                runs.append(time.time() - t0)
+        ingest_s = min(runs)
+        upd_per_sec = n_updates / ingest_s
+        log(f"kron_{scale} ingest: {n_updates} updates in {ingest_s:.2f}s "
+            f"(runs {[round(r, 1) for r in runs]}) "
+            f"= {upd_per_sec / 1e6:.3f} M upd/s on local[{cpus}]")
+        times[f"{tag}_ingest"] = round(ingest_s, 3)
+        cc_runs = []
+        for _ in range(2):
+            t0 = time.time()
+            labels, _ = alg.boruvka(state)
+            cc_runs.append(time.time() - t0)
+        cc_s = min(cc_runs)
+        log(f"kron_{scale} sketch CC: {cc_s:.2f}s, "
+            f"{len(np.unique(labels))} components")
+        times[f"{tag}_sketch_cc"] = round(cc_s, 3)
+        state.unpersist()
+        return {
+            "scale": scale,
+            "edge_factor": ef,
+            "n_updates": int(n_updates),
+            "ingest_sec": round(ingest_s, 3),
+            "updates_per_sec": round(upd_per_sec, 1),
+            "cc_sec": round(cc_s, 3),
+        }
 
-    t0 = time.time()
-    labels, _ = alg.boruvka(state)
-    cc_s = time.time() - t0
-    import numpy as np
+    kron15 = kron_bench(KRON_SCALE, KRON_EDGE_FACTOR, "kron")
+    if os.environ.get("SPARK_GRAFT_KRON17", "1") == "1" and not only_kron:
+        kron17 = kron_bench(KRON17_SCALE, KRON17_EF, "kron17")
+    else:
+        kron17 = None
 
-    log(f"kron_{KRON_SCALE} sketch CC: {cc_s:.2f}s, "
-        f"{len(np.unique(labels))} components")
-    times["kron_sketch_cc"] = round(cc_s, 3)
-    state.unpersist()
-
+    headline = kron17 if kron17 is not None else kron15
     out = {
         "metric": "kron_stream_updates_per_sec",
-        "value": round(upd_per_sec, 1),
+        "value": headline["updates_per_sec"],
         "unit": "updates/sec",
         "queries": times,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cpus": cpus,
-        "kron": {
-            "scale": KRON_SCALE,
-            "edge_factor": KRON_EDGE_FACTOR,
-            "n_updates": int(n_updates),
-            "ingest_sec": round(ingest_s, 3),
-            "cc_sec": round(cc_s, 3),
-        },
+        "kron": kron15,
+        "kron17": kron17,
+        "headline_workload": f"kron_{headline['scale']} ef={headline['edge_factor']}",
     }
     print(json.dumps(out), flush=True)
 
