@@ -375,6 +375,41 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_at_k(corpus, queries, ann, k=1)
 
 
+SIMHASH_MAXHAM = 6
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by simhash: banded-bucket candidates + exact hamming
+    filter. The oracle reproduces both stages — the 4x12-bit band buckets
+    AND bit_count(xor) <= k — from the bit-exact signature twin."""
+    from graphzeppelin_spark.operators.dedup import simhash_dedup_pairs
+
+    return simhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAXHAM
+    )
+
+
+def q_rel_time_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (the batch twin of the streaming
+    windowed aggregation): hourly event counts + value sums."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal sum: exact and order-independent (a double sum's value
+            # depends on reduction order, which differs across engines)
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphzeppelin_spark.functions.text import text_profile
 
@@ -652,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_cosine": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -668,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_last_event": q_rel_window_last_event,
         "rel_cube_agg": q_rel_cube_agg,
         "rel_setops": q_rel_setops,
+        "rel_time_window_agg": q_rel_time_window_agg,
     }
 
 
@@ -842,10 +879,10 @@ FROM documents
 """
 
 
-def _simhash_oracle() -> str:
-    """Bit-for-bit SQL twin of dedup.simhash_signatures: md5-derived 60-bit
-    token hashes, arithmetic bit extraction, 48 vote sums, vote-majority
-    signature — every step identical to the Spark expressions."""
+def _simhash_sig_cte() -> str:
+    """Bit-for-bit SQL twin of dedup.simhash_signatures as a CTE body:
+    md5-derived 60-bit token hashes, arithmetic bit extraction, 48 vote sums,
+    vote-majority signature — every step identical to the Spark expressions."""
     from graphzeppelin_spark.operators.dedup import SIMHASH_BITS
 
     votes = ", ".join(
@@ -855,7 +892,7 @@ def _simhash_oracle() -> str:
         f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
     )
     return f"""
-WITH toks AS (
+toks AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
   FROM (
     SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
@@ -864,9 +901,38 @@ WITH toks AS (
   WHERE tok <> ''
 ),
 votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
-sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes)
-SELECT d.doc_id, COALESCE(sig.simhash, 0) AS simhash
-FROM documents d LEFT JOIN sig ON sig.doc_id = d.doc_id
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes),
+sigs AS (
+  SELECT d.doc_id, COALESCE(sig.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sig ON sig.doc_id = d.doc_id
+)"""
+
+
+def _simhash_oracle() -> str:
+    return f"WITH {_simhash_sig_cte()} SELECT doc_id, simhash FROM sigs"
+
+
+def _simhash_pairs_oracle() -> str:
+    """Both operator stages reproduced: 4 x 12-bit band buckets (arithmetic
+    shift) for candidates, then exact bit_count(xor) hamming filter."""
+    from graphzeppelin_spark.operators.dedup import SIMHASH_BITS
+
+    bw = SIMHASH_BITS // 4
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band,"
+        f" (simhash // {1 << (bw * i)}) % {1 << bw} AS bucket FROM sigs"
+        for i in range(4)
+    )
+    return f"""
+WITH {_simhash_sig_cte()},
+bands AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b FROM cands WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAXHAM}
 """
 
 
@@ -968,6 +1034,7 @@ FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= {LSH_T}
 """,
         "dedup_simhash": _simhash_oracle(),
+        "dedup_simhash_pairs": _simhash_pairs_oracle(),
         "ann_lsh": ann_recall_oracle,
         "ann_ivf": ann_recall_oracle,
         "ann_cosine_topk": f"""
@@ -1082,6 +1149,13 @@ big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 100000)
 SELECT k, 'both' AS bucket FROM (SELECT k FROM building INTERSECT SELECT k FROM big)
 UNION ALL
 SELECT k, 'building_only' AS bucket FROM (SELECT k FROM building EXCEPT SELECT k FROM big)
+""",
+        "rel_time_window_agg": """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
 """,
         "rel_window_last_event": """
 WITH ranked AS (
