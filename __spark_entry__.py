@@ -416,6 +416,29 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile(_t(spark, sf_dir, "documents"))
 
 
+QUALITY_MIN = 0.5  # pipeline-composition quality gate
+
+
+def q_pipeline_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline COMPOSITION, the thing a user
+    actually runs: text_profile -> quality filter -> exact-dedup canonical
+    selection -> per-language corpus stats. One oracle covers the composed
+    plan, not just each stage."""
+    from graphzeppelin_spark.functions.text import text_profile
+    from graphzeppelin_spark.operators.dedup import exact_dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    prof = text_profile(docs)
+    canon = exact_dedup_groups(docs).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    kept = prof.where(F.col("quality") >= QUALITY_MIN).join(canon, "doc_id")
+    return kept.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 WINNOW_K = 5
 WINNOW_W = 4
 
@@ -695,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "text_profile": q_text_profile,
         "text_winnow": q_text_winnow,
+        "pipeline_quality_dedup": q_pipeline_quality_dedup,
         "pages_text_identity": q_pages_text_identity,
         "pages_edges": q_pages_edges,
         "multimodal_meta": q_multimodal_meta,
@@ -1053,6 +1077,14 @@ ranked AS (
 SELECT query_id, neighbor_id, score FROM ranked WHERE rn <= 5
 """,
         "text_profile": _text_profile_oracle(),
+        "pipeline_quality_dedup": f"""
+WITH prof AS ({_text_profile_oracle()}),
+canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT lang_pred, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM prof JOIN canon USING (doc_id)
+WHERE quality >= {QUALITY_MIN}
+GROUP BY lang_pred
+""",
         "text_winnow": f"""
 WITH norm AS (
   SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
