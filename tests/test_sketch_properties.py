@@ -90,3 +90,45 @@ def test_full_deletion_restores_zero(items):
         sm.update_many(np.zeros(len(ids), dtype=np.int64), ids, signs=signs)
         sm.update_many(np.zeros(len(ids), dtype=np.int64), ids, signs=-signs)
     assert (sm.buckets == 0).all()
+
+
+# ---- end-to-end property: the full distributed pipeline on random streams
+
+
+_pairs = st.lists(
+    st.tuples(st.integers(0, 31), st.integers(0, 31)).filter(lambda p: p[0] != p[1]),
+    min_size=0,
+    max_size=120,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_pairs)
+def test_sketch_cc_random_toggle_streams(spark, pairs):
+    """Arbitrary well-formed toggle streams (types derived from occurrence
+    parity, so the alternation contract holds by construction) through the
+    FULL distributed path — build_state + boruvka — must label components
+    exactly like the union-find oracle on the surviving edge set."""
+    import pandas as pd
+
+    from graphzeppelin_spark import oracle
+    from graphzeppelin_spark.operators.sketch_cc import SketchCC
+    from tests.conftest import stream_df
+
+    n = 32
+    seen: dict[tuple[int, int], int] = {}
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        lo, hi = (a, b) if a < b else (b, a)
+        t = seen.get((lo, hi), 0) % 2
+        seen[(lo, hi)] = seen.get((lo, hi), 0) + 1
+        rows.append((i, t, lo, hi))
+    s = pd.DataFrame(rows, columns=["seq", "type", "src", "dst"])
+    expected = oracle.connected_components(oracle.live_edges(s, n), n)
+    alg = SketchCC(spark, num_vertices=n, seed=97)
+    if len(s) == 0:
+        labels = np.arange(n, dtype=np.int64)
+    else:
+        labels, forest = alg.boruvka(alg.build_state(stream_df(spark, s)))
+        assert oracle.spanning_forest_is_valid(forest, oracle.live_edges(s, n), n)
+    np.testing.assert_array_equal(labels, expected)
