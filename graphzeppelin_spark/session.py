@@ -72,6 +72,12 @@ def get_spark(
     return spark
 
 
+import threading
+
+_AQE_LOCK = threading.Lock()
+_AQE_STATE: dict[int, tuple[str, int]] = {}  # session id -> (original, depth)
+
+
 class aqe_off:
     """Disable adaptive execution around a block of Spark ACTIONS.
 
@@ -79,16 +85,38 @@ class aqe_off:
     plan construction) is what matters. The sketch ingest/query paths use
     this: their shuffles are few, large, and fixed-width, where AQE's
     query-stage materialization costs ~5x (see get_spark); the rest of the
-    engine keeps AQE's coalescing."""
+    engine keeps AQE's coalescing.
+
+    Reentrant and thread-safe via a per-session depth counter: with
+    query-during-ingest overlap (streaming/driver.py), two threads can hold
+    this simultaneously — a naive save/restore would capture the OTHER
+    thread's "false" as its restore value and leave AQE off for the rest of
+    the session. Only the outermost exit restores the original setting.
+    (Session conf is still process-global: a concurrent non-sketch query
+    launched inside the window runs without AQE — a perf nuance only.)"""
 
     def __init__(self, spark):
         self.spark = spark
 
     def __enter__(self):
-        self.prev = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
-        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        with _AQE_LOCK:
+            key = id(self.spark)
+            if key not in _AQE_STATE:
+                orig = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+                _AQE_STATE[key] = (orig, 1)
+                self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+            else:
+                orig, depth = _AQE_STATE[key]
+                _AQE_STATE[key] = (orig, depth + 1)
         return self
 
     def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.adaptive.enabled", self.prev)
+        with _AQE_LOCK:
+            key = id(self.spark)
+            orig, depth = _AQE_STATE[key]
+            if depth == 1:
+                del _AQE_STATE[key]
+                self.spark.conf.set("spark.sql.adaptive.enabled", orig)
+            else:
+                _AQE_STATE[key] = (orig, depth - 1)
         return False

@@ -161,3 +161,33 @@ def test_unified_config_surface(spark):
     )
     assert drv.seed == 11 and drv.eager is False
     assert drv.eager_batch_limit == 10
+
+
+def test_aqe_off_is_reentrant_across_threads(spark):
+    """Interleaved aqe_off holds from two threads must restore the original
+    setting on the LAST exit — the naive save/restore left AQE disabled for
+    the rest of the session."""
+    import threading
+    import time as _time
+
+    from graphzeppelin_spark.session import aqe_off
+
+    orig = spark.conf.get("spark.sql.adaptive.enabled")
+    inner_entered = threading.Event()
+    outer_may_exit = threading.Event()
+
+    def holder():
+        with aqe_off(spark):
+            inner_entered.set()
+            outer_may_exit.wait(timeout=30)
+
+    t = threading.Thread(target=holder)
+    cm = aqe_off(spark)
+    cm.__enter__()
+    t.start()
+    inner_entered.wait(timeout=30)
+    cm.__exit__(None, None, None)  # T1 exits while T2 still holds
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"  # T2 active
+    outer_may_exit.set()
+    t.join(timeout=30)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == orig
