@@ -43,6 +43,35 @@ def salted_agg(
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for a hub-keyed fact side against a dim side too
+    large to broadcast (case 2 in the module docstring).
+
+    The fact side scatters each row into one of `salt` sub-keys; the dim
+    side replicates `salt` ways — so a hub key's rows spread across `salt`
+    reducers instead of one. Cost: dim is duplicated salt times through the
+    shuffle, which is why this exists as an EXPLICIT tool (use broadcast for
+    small dims, AQE skew-join for mild skew; salt for the power-law hubs
+    that exceed both). Supports inner and left joins (right/full would need
+    dim-side dedup of the unmatched replicas)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    fact_s = fact.withColumn(
+        "_salt",
+        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt)),
+    )
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return fact_s.join(dim_s, [on, "_salt"], how).drop("_salt")
+
+
 def salted_degrees(edges: DataFrame, salt: int = 16) -> DataFrame:
     """(v, degree) with explicit hub salting — two bounded-fan-in stages."""
     bi = edges.select(F.col("src").alias("v")).unionAll(
