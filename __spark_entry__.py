@@ -268,7 +268,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphzeppelin_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_augmented_docs(spark, sf_dir), threshold=JACCARD_T)
+    # df_cap=None: the DuckDB twin is exact/uncapped, so the contract must
+    # run the exact path too (the production "auto" cap can drop pairs whose
+    # every common shingle is ubiquitous — tested against a planted hub in
+    # test_pipeline_ops instead)
+    return ngram_jaccard_pairs(
+        _augmented_docs(spark, sf_dir), threshold=JACCARD_T, df_cap=None
+    )
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -147,6 +147,8 @@ def main() -> None:
         kron17 = kron_bench(KRON17_SCALE, KRON17_EF, "kron17")
     else:
         kron17 = None
+        log("WARNING: kron_17 skipped — headline falls back to the kron_15 "
+            "small-input regime (check headline_workload before comparing)")
 
     headline = kron17 if kron17 is not None else kron15
     out = {

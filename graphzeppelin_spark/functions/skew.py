@@ -22,19 +22,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, salt: int, salt_cols: list[str] | None) -> Column:
+    """DETERMINISTIC per-row salt: pmod(xxhash64(row identity), salt).
+
+    Never use spark_partition_id()/monotonically_increasing_id()/rand() as a
+    shuffle key: a map-task retry after a fetch failure re-evaluates them
+    differently, and reducers that already fetched the old output see a row
+    under two salts (duplicated/dropped join or agg rows). A content hash is
+    stable across retries; the caveat is that IDENTICAL rows share a salt,
+    so pass salt_cols covering a distinguishing column when the skewed key's
+    rows are exact duplicates."""
+    cols = salt_cols if salt_cols is not None else list(df.columns)
+    return F.pmod(F.xxhash64(*cols), F.lit(salt))
+
+
 def salted_agg(
     df: DataFrame,
     key_cols: list[str],
     partial_aggs: dict[str, Column],
     final_aggs: dict[str, Column],
     salt: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-stage skew-safe aggregation.
 
     partial_aggs: output-name -> aggregate expression over the raw rows
     final_aggs:   output-name -> aggregate expression over the stage-1 columns
+    salt_cols:    row-identity columns for the deterministic salt (default:
+                  all columns — see _row_salt for the duplicates caveat)
     """
-    salted = df.withColumn("_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt)))
+    salted = df.withColumn("_salt", _row_salt(df, salt, salt_cols))
     stage1 = salted.groupBy(*key_cols, "_salt").agg(
         *[expr.alias(name) for name, expr in partial_aggs.items()]
     )
@@ -62,10 +79,7 @@ def salted_join(
     dim-side dedup of the unmatched replicas)."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
-    fact_s = fact.withColumn(
-        "_salt",
-        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt)),
-    )
+    fact_s = fact.withColumn("_salt", _row_salt(fact, salt, None))
     dim_s = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
@@ -73,9 +87,14 @@ def salted_join(
 
 
 def salted_degrees(edges: DataFrame, salt: int = 16) -> DataFrame:
-    """(v, degree) with explicit hub salting — two bounded-fan-in stages."""
-    bi = edges.select(F.col("src").alias("v")).unionAll(
-        edges.select(F.col("dst").alias("v"))
+    """(v, degree) with explicit hub salting — two bounded-fan-in stages.
+
+    The endpoint rows carry (src, dst, side) so the deterministic salt has a
+    distinct identity per row even though a hub's `v` values are identical."""
+    bi = edges.select(
+        F.col("src").alias("v"), "src", "dst", F.lit(0).alias("side")
+    ).unionAll(
+        edges.select(F.col("dst").alias("v"), "src", "dst", F.lit(1).alias("side"))
     )
     return salted_agg(
         bi,
@@ -83,4 +102,5 @@ def salted_degrees(edges: DataFrame, salt: int = 16) -> DataFrame:
         {"c": F.count("*")},
         {"degree": F.sum("c")},
         salt=salt,
+        salt_cols=["src", "dst", "side"],
     )

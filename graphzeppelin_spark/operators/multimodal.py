@@ -201,7 +201,10 @@ def _iter_video_frames(b: bytes):
     for i in range(n):
         (ln,) = struct.unpack_from("<I", b, pos)
         pos += 4
-        yield i, b[pos : pos + ln]
+        frame = b[pos : pos + ln]
+        if len(frame) != ln:  # python slicing never raises — check explicitly
+            raise ValueError("truncated frame payload")
+        yield i, frame
         pos += ln
 
 
@@ -362,14 +365,20 @@ def sample_frames(media: DataFrame, every_n: int = 10, blob_col: str = "blob") -
             for mid, b in zip(pdf["media_id"], pdf[blob_col]):
                 if b is None:
                     continue
+                # buffer per blob: a container truncated mid-frame must
+                # contribute ZERO rows, not the frames before the corruption
+                b_ids, b_idxs, b_frames = [], [], []
                 try:
                     for i, png in _iter_video_frames(b):
                         if i % every_n == 0:
-                            ids.append(mid)
-                            idxs.append(i)
-                            frames.append(png)
+                            b_ids.append(mid)
+                            b_idxs.append(i)
+                            b_frames.append(png)
                 except (ValueError, struct.error):
                     continue
+                ids.extend(b_ids)
+                idxs.extend(b_idxs)
+                frames.extend(b_frames)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame": frames}
             )

@@ -9,6 +9,7 @@ skew-join splitting plus our explicit hub salting handle that — SURVEY.md §4)
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -71,8 +72,6 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     return spark
 
-
-import threading
 
 _AQE_LOCK = threading.Lock()
 _AQE_STATE: dict[int, tuple[str, int]] = {}  # session id -> (original, depth)

@@ -20,6 +20,7 @@ src/cc_sketch_alg.cpp:79-104):
 
 from __future__ import annotations
 
+import threading
 from concurrent.futures import Future, ThreadPoolExecutor
 
 import numpy as np
@@ -75,6 +76,7 @@ class GraphStreamDriver:
         # ingest's unpersist of a superseded state can't yank blocks out from
         # under a concurrently running query (see snapshot())
         self._pinned: dict[int, tuple[DataFrame, int]] = {}  # id -> (df, refs)
+        self._pin_lock = threading.Lock()  # guards _pinned + the unpersist race
         self._executor: ThreadPoolExecutor | None = None
 
     # ----------------------------------------------------------------- ingest
@@ -121,9 +123,13 @@ class GraphStreamDriver:
                 new_state, _ = self.store.read(snap)  # clean lineage from disk
             else:
                 new_state = new_state.localCheckpoint(eager=True)
-            if self.state is not None:
-                self._drop_state(self.state)
+            # swap FIRST, then drop: _unpin decides "superseded?" by comparing
+            # against self.state, so the old state must already be superseded
+            # when its pin check runs (unpersist is idempotent, a miss is not)
+            old_state = self.state
             self.state = new_state.persist()
+            if old_state is not None:
+                self._drop_state(old_state)
         wall = time.time() - t0
         self.metrics.append(
             {
@@ -178,25 +184,33 @@ class GraphStreamDriver:
     # ------------------------------------------------- query-during-ingest
 
     def _drop_state(self, df: DataFrame) -> None:
-        """Unpersist a superseded state unless a live snapshot pins it."""
-        if id(df) in self._pinned:
-            return  # released when the last snapshot referencing it closes
-        df.unpersist()
+        """Unpersist a superseded state unless a live snapshot pins it.
+
+        All pin-map mutations and the unpersist decision run under one lock:
+        the ingest thread and the query executor thread both touch this map,
+        and an unlocked read-modify-write could lose a live pin (state
+        unpersisted under a running query) or leak one forever."""
+        with self._pin_lock:
+            if id(df) in self._pinned:
+                return  # released when the last snapshot referencing it closes
+            df.unpersist()
 
     def _pin(self, df: DataFrame) -> None:
-        key = id(df)
-        held, refs = self._pinned.get(key, (df, 0))
-        self._pinned[key] = (held, refs + 1)
+        with self._pin_lock:
+            key = id(df)
+            held, refs = self._pinned.get(key, (df, 0))
+            self._pinned[key] = (held, refs + 1)
 
     def _unpin(self, df: DataFrame) -> None:
-        key = id(df)
-        held, refs = self._pinned[key]
-        if refs > 1:
-            self._pinned[key] = (held, refs - 1)
-        else:
-            del self._pinned[key]
-            if held is not self.state:  # superseded while the snapshot ran
-                held.unpersist()
+        with self._pin_lock:
+            key = id(df)
+            held, refs = self._pinned[key]
+            if refs > 1:
+                self._pinned[key] = (held, refs - 1)
+            else:
+                del self._pinned[key]
+                if held is not self.state:  # superseded while the snapshot ran
+                    held.unpersist()
 
     def snapshot(self) -> "StateSnapshot":
         """Point-in-time query handle over the current state.

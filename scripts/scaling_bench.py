@@ -74,7 +74,7 @@ def run_level(cpus: int) -> dict:
     raise RuntimeError(f"no RESULT from cpus={cpus}")
 
 
-def _load_ceilings() -> dict[tuple[int, int], float]:
+def _load_ceilings() -> tuple[dict[tuple[int, int], float], str]:
     """Hardware context: what a PERFECT embarrassingly-parallel,
     cache-resident workload scores on this VM for the same core pair (no real
     job can beat it). Read from the probe's saved measurement

@@ -144,6 +144,21 @@ def test_video_frame_sampling(spark):
         np.testing.assert_array_equal(decode_png(f["frame"]), frames[f["frame_idx"]])
 
 
+def test_truncated_video_contributes_zero_rows(spark):
+    """A container cut off mid-frame must yield NO rows for that blob (not
+    the frames before the truncation point) — partial frame sets would read
+    as complete downstream."""
+    frames = [_gradient(6, 6, seed=i) for i in range(25)]
+    blob = encode_video(frames)
+    truncated = blob[: len(blob) // 2]  # valid header, body cut mid-frame
+    media = spark.createDataFrame(
+        [(1, truncated), (2, encode_video(frames[:5]))], "media_id long, blob binary"
+    )
+    got = sample_frames(media, every_n=2).collect()
+    assert {f["media_id"] for f in got} == {2}
+    assert [f["frame_idx"] for f in got] == [0, 2, 4]
+
+
 def test_wav_roundtrip_and_audio_meta(spark):
     t = np.arange(4000)
     samples = (1000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)

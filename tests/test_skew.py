@@ -12,25 +12,34 @@ from graphzeppelin_spark.functions.skew import salted_agg, salted_degrees, salte
 def test_salted_agg_hub_key(spark):
     """One hub key with 10k rows + a tail: the two-stage sum must equal the
     plain groupBy, and stage 1 must actually spread the hub (every salt
-    bucket sees some of it)."""
+    bucket sees some of it). The salt is a DETERMINISTIC row-content hash
+    (retry-safe shuffle key), so rows carry a distinct id."""
+    n_hub = 10_000
     pdf = pd.DataFrame(
-        {"k": ["hub"] * 10_000 + [f"t{i}" for i in range(100)], "v": 1}
+        {
+            "k": ["hub"] * n_hub + [f"t{i}" for i in range(100)],
+            "rid": np.arange(n_hub + 100, dtype=np.int64),
+            "v": 1,
+        }
     )
     df = spark.createDataFrame(pdf)
     out = salted_agg(
         df, ["k"], {"s": F.sum("v")}, {"total": F.sum("s")}, salt=8
     ).toPandas().set_index("k")
-    assert out.loc["hub", "total"] == 10_000
+    assert out.loc["hub", "total"] == n_hub
     assert (out.drop("hub")["total"] == 1).all()
-    # the hub's stage-1 groups actually span multiple salt buckets
-    salted = df.withColumn(
-        "_salt",
-        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(8)),
-    )
+    # the hub's stage-1 groups actually span every salt bucket
+    from graphzeppelin_spark.functions.skew import _row_salt
+
+    salted = df.withColumn("_salt", _row_salt(df, 8, None))
     n_buckets = (
         salted.where(F.col("k") == "hub").select("_salt").distinct().count()
     )
-    assert n_buckets > 1
+    assert n_buckets == 8
+    # and the salt is deterministic: recomputing yields the identical mapping
+    a = salted.select("rid", "_salt").toPandas().sort_values("rid", ignore_index=True)
+    b = salted.select("rid", "_salt").toPandas().sort_values("rid", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_salted_join_matches_plain_join(spark):
