@@ -39,7 +39,6 @@ import zlib
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -168,7 +168,6 @@ def test_aqe_off_is_reentrant_across_threads(spark):
     setting on the LAST exit — the naive save/restore left AQE disabled for
     the rest of the session."""
     import threading
-    import time as _time
 
     from graphzeppelin_spark.session import aqe_off
 
