@@ -323,3 +323,67 @@ def ann_recall_at_k(
             F.coalesce("hits", F.lit(0)) / F.col("n_exact"), 6
         ).alias("recall"),
     )
+
+
+# ------------------------------------------------------- persisted IVF index
+
+
+def ivf_write_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Build an IVF index ONCE and persist it: `path/centroids` (the
+    n_centroids x dim matrix, broadcast-sized) and `path/lists` — the corpus
+    (vec_id, embedding) written as parquet PARTITIONED BY centroid. The
+    layout is the index: probing nprobe lists at search time reads
+    ~nprobe/n_centroids of the data via partition pruning (Spark's dynamic
+    partition pruning fires on the broadcast probe⋈lists join), which is the
+    ivf_topk candidate bound enforced by the storage layer instead of a
+    shuffle. Returns the trained centroids."""
+    spark = embeddings.sparkSession
+    cent = ivf_train_centroids(
+        embeddings, n_centroids=n_centroids, kmeans_iters=kmeans_iters, seed=seed
+    )
+    spark.createDataFrame(
+        pd.DataFrame({"centroid": np.arange(len(cent), dtype=np.int32), "v": cent.tolist()})
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    lists = _ivf_assign(embeddings, cent, 1, "vec_id").join(
+        embeddings.select("vec_id", "embedding"), "vec_id"
+    )
+    lists.write.partitionBy("centroid").mode("overwrite").parquet(f"{path}/lists")
+    return cent
+
+
+def ivf_read_centroids(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("centroid").collect()
+    return np.array([r["v"] for r in rows], dtype=np.float64)
+
+
+def ivf_search(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Serve top-k from a persisted IVF index (see ivf_write_index). The
+    query batch is assigned to its nprobe nearest centroids driver-free
+    (centroids are a tiny collect), the probe table broadcasts into the
+    partitioned lists scan (dynamic partition pruning bounds IO), and the
+    exact cosine rerank runs on candidate pairs only."""
+    spark = queries.sparkSession
+    cent = ivf_read_centroids(spark, path)
+    probes = _ivf_assign(queries, cent, nprobe, "query_id")
+    lists = spark.read.parquet(f"{path}/lists")
+    cands = (
+        F.broadcast(probes)
+        .join(lists, "centroid")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    corpus = lists.select("vec_id", "embedding")
+    return _topk(_score_pairs(cands, queries, corpus, round_digits), k)

@@ -279,3 +279,39 @@ def test_winnowing_shared_substring_detection(spark, docs):
         shared = len(fps[i] & fps[i + 200])    # prefix near-dup
         assert shared >= max(2, len(fps[i + 200]) // 2)
     assert len(fps[0] & fps[999]) == 0         # unrelated
+
+
+def test_ivf_persisted_index_search(spark, embeddings, tmp_path):
+    """Build-once/search-many: the persisted IVF index must (a) return the
+    exact top-k when every list is probed, (b) bound IO via partition
+    pruning on the centroid-partitioned lists (the probe join prunes the
+    scan), and (c) survive a fresh read (no driver state)."""
+    from graphzeppelin_spark.operators.similarity import (
+        cosine_topk,
+        ivf_read_centroids,
+        ivf_search,
+        ivf_write_index,
+    )
+
+    path = str(tmp_path / "ivf_idx")
+    cent = ivf_write_index(embeddings, path, n_centroids=4, kmeans_iters=3)
+    assert ivf_read_centroids(spark, path).shape == cent.shape
+    queries = embeddings.where(F.col("vec_id") < 3)
+    # probing EVERY list == exact search
+    got = ivf_search(queries, path, k=3, nprobe=4).toPandas()
+    exact = cosine_topk(embeddings, queries, k=3).toPandas()
+    key = ["query_id", "neighbor_id", "score"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key, ignore_index=True)[key],
+        exact.sort_values(key, ignore_index=True)[key],
+    )
+    # the on-disk layout is the index: lists are partitioned by centroid
+    import os
+
+    parts = [d for d in os.listdir(f"{path}/lists") if d.startswith("centroid=")]
+    assert len(parts) == 4
+    # and the probe join reaches the scan as a partition filter
+    plan = ivf_search(queries, path, k=3, nprobe=1)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
