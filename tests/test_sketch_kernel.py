@@ -171,6 +171,20 @@ def test_edge_encoding_roundtrip():
     assert np.array_equal(hi, np.maximum(src, dst))
 
 
+def test_edge_encoding_at_documented_vertex_limit():
+    """eid = lo*n + hi in signed int64 is documented to hold to n ~ 3e9
+    (kernel.encode_edges): prove the roundtrip at the boundary instead of
+    trusting the comment — max eid = (n-2)*n + (n-1) must stay < 2^63."""
+    n = 3_000_000_000
+    assert (n - 2) * n + (n - 1) < 2**63
+    src = np.array([0, 1, n - 2, n // 2, 123], dtype=np.int64)
+    dst = np.array([n - 1, n - 2, n - 1, n // 2 + 1, 456], dtype=np.int64)
+    eid = encode_edges(src, dst, n)
+    lo, hi = decode_edges(eid, n)
+    assert np.array_equal(lo, np.minimum(src, dst))
+    assert np.array_equal(hi, np.maximum(src, dst))
+
+
 def test_splitmix_deterministic_and_seeded():
     x = np.arange(100, dtype=np.uint64)
     a = splitmix64(x, 1)
