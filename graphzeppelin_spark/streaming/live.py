@@ -92,3 +92,152 @@ class LiveGraphStream:
             return np.arange(self.num_vertices, dtype=np.int64)
         labels, _ = self.alg.boruvka(self.state)
         return labels
+
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+class LivePagesStream:
+    """Live-crawl front-end: the BASELINE input_hint pages table consumed as
+    a Structured Stream, maintaining an incremental url dictionary and a
+    sketch-CC state over the resolved link graph.
+
+    Per micro-batch (foreachBatch):
+    1. new urls get dense ids appended to the dictionary (url_dictionary on
+       the batch's novel urls + the current offset — ids are stable once
+       assigned, never reshuffled);
+    2. extracted hrefs whose target page has not arrived yet wait in a
+       `pending` table (a crawl links forward as often as back);
+    3. hrefs whose both endpoints exist resolve to canonical (src, dst) id
+       pairs; pairs never folded before become INSERT updates into the
+       sketch state (the `inserted` table guards toggle semantics — folding
+       the same edge twice would DELETE it under the signed-sum algebra).
+
+    Queries run between triggers against the current state, exactly like
+    LiveGraphStream. Vertex capacity is fixed up front (sketch geometry),
+    so `num_vertices_capacity` bounds the crawl size of one state."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        stream_checkpoint_dir: str,
+        num_vertices_capacity: int,
+        seed: int = 42,
+        variant: str = "cameo",
+    ):
+        import os
+
+        self.spark = spark
+        self.alg = SketchCC(spark, num_vertices_capacity, seed=seed, variant=variant)
+        self.capacity = num_vertices_capacity
+        self.state: DataFrame | None = None
+        self.dict_df: DataFrame | None = None  # (url, vid)
+        self.pending: DataFrame | None = None  # (src_url, dst_url)
+        self.inserted: DataFrame | None = None  # canonical (src, dst) vids
+        self.next_vid = 0
+        self.batches_seen = 0
+        os.makedirs(source_dir, exist_ok=True)
+        self._source = spark.readStream.schema(PAGES_SCHEMA).parquet(source_dir)
+        self._stream_ckpt = stream_checkpoint_dir
+
+    def _fold_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from graphzeppelin_spark.sources.pages import extract_hrefs, url_dictionary
+
+        if batch_df.isEmpty():
+            return
+        # 1. extend the dictionary with the batch's novel urls
+        new_urls = batch_df.select("url").distinct()
+        if self.dict_df is not None:
+            new_urls = new_urls.join(self.dict_df.select("url"), "url", "left_anti")
+        new_entries = url_dictionary(new_urls.select("url")).select(
+            "url", (F.col("vid") + F.lit(self.next_vid)).alias("vid")
+        )
+        n_new = new_entries.count()
+        if self.next_vid + n_new > self.capacity:
+            raise ValueError(
+                f"crawl exceeds num_vertices_capacity={self.capacity}; "
+                "start a new state with a larger capacity"
+            )
+        self.dict_df = (
+            new_entries if self.dict_df is None else self.dict_df.unionAll(new_entries)
+        ).localCheckpoint(eager=True)
+        self.next_vid += n_new
+
+        # 2. pending ∪ new hrefs, split by resolvability
+        hrefs = extract_hrefs(batch_df)
+        all_hrefs = (
+            hrefs if self.pending is None else self.pending.unionAll(hrefs)
+        )
+        dst_d = self.dict_df.select(
+            F.col("url").alias("dst_url"), F.col("vid").alias("dvid")
+        )
+        src_d = self.dict_df.select(
+            F.col("url").alias("src_url"), F.col("vid").alias("svid")
+        )
+        with_dst = all_hrefs.join(dst_d, "dst_url", "left")
+        self.pending = (
+            with_dst.where(F.col("dvid").isNull())
+            .select("src_url", "dst_url")
+            .localCheckpoint(eager=True)
+        )
+        resolved = (
+            with_dst.where(F.col("dvid").isNotNull())
+            .join(src_d, "src_url")
+            .select(
+                F.least("svid", "dvid").alias("src"),
+                F.greatest("svid", "dvid").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+        # 3. fold only never-before-inserted edges (toggle-safety)
+        new_edges = (
+            resolved
+            if self.inserted is None
+            else resolved.join(self.inserted, ["src", "dst"], "left_anti")
+        ).localCheckpoint(eager=True)
+        self.inserted = (
+            new_edges if self.inserted is None else self.inserted.unionAll(new_edges)
+        ).localCheckpoint(eager=True)
+        if new_edges.isEmpty():
+            self.batches_seen += 1
+            return
+        stream = new_edges.select(
+            F.monotonically_increasing_id().alias("seq"),
+            F.lit(0).alias("type"),
+            "src",
+            "dst",
+        )
+        delta = self.alg.build_state(stream)
+        new_state = (
+            delta if self.state is None else self.alg.merge_states(self.state, delta)
+        ).localCheckpoint(eager=True)
+        if self.state is not None:
+            self.state.unpersist()
+        self.state = new_state.persist()
+        self.batches_seen += 1
+
+    def process_available(self) -> None:
+        """Consume everything currently in the source directory and stop."""
+        q = (
+            self._source.writeStream.foreachBatch(self._fold_batch)
+            .option("checkpointLocation", self._stream_ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def url_components(self) -> dict[str, int]:
+        """url -> component label (labels are sketch-CC over assigned vids)."""
+        if self.state is None or self.dict_df is None:
+            return {}
+        labels, _ = self.alg.boruvka(self.state)
+        return {
+            r["url"]: int(labels[r["vid"]]) for r in self.dict_df.collect()
+        }
