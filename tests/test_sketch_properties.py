@@ -132,3 +132,37 @@ def test_sketch_cc_random_toggle_streams(spark, pairs):
         labels, forest = alg.boruvka(alg.build_state(stream_df(spark, s)))
         assert oracle.spanning_forest_is_valid(forest, oracle.live_edges(s, n), n)
     np.testing.assert_array_equal(labels, expected)
+
+
+@settings(max_examples=4, deadline=None)
+@given(_pairs, st.integers(min_value=1, max_value=5))
+def test_driver_random_streams_random_batches(spark, pairs, n_batches):
+    """The micro-batch driver with the EAGER cache on: arbitrary toggle
+    streams cut into arbitrary batch sizes must answer exactly like the
+    oracle at every batch boundary — this drives the linear cross-batch
+    merge AND the eager-DSU invalidation logic under random deletes."""
+    import pandas as pd
+
+    from graphzeppelin_spark import oracle
+    from graphzeppelin_spark.streaming.driver import GraphStreamDriver
+    from tests.conftest import stream_df
+
+    n = 32
+    seen: dict[tuple[int, int], int] = {}
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        lo, hi = (a, b) if a < b else (b, a)
+        t = seen.get((lo, hi), 0) % 2
+        seen[(lo, hi)] = seen.get((lo, hi), 0) + 1
+        rows.append((i, t, lo, hi))
+    s = pd.DataFrame(rows, columns=["seq", "type", "src", "dst"])
+    if len(s) == 0:
+        return
+    drv = GraphStreamDriver(spark, stream_df(spark, s), n, seed=5, eager=True)
+    batch = max(len(s) // n_batches, 1)
+    upto = 0
+    while upto < len(s):
+        upto = min(upto + batch, len(s))
+        drv.process_stream_until(upto)
+        expected = oracle.connected_components(oracle.live_edges(s, n, upto), n)
+        np.testing.assert_array_equal(drv.connected_components(), expected)
