@@ -107,6 +107,10 @@ def main() -> None:
             num_partitions=max(2 * cpus, 16) if scale <= 15 else 128,
         )
         spark.catalog.clearCache()
+        # the 15 breadth queries leave tenured garbage in the shared local-mode
+        # JVM; without an explicit GC the big ingest absorbs multi-second GC
+        # pauses (measured 11s isolated vs 30s+ late-session on this VM)
+        spark.sparkContext._jvm.System.gc()
         runs, state = [], None
         n_runs = 4 if scale >= 17 else 3  # headline gets one extra sample
         with aqe_off(spark):  # ingest shuffles are few/large/fixed-width
@@ -124,6 +128,7 @@ def main() -> None:
             f"(runs {[round(r, 1) for r in runs]}) "
             f"= {upd_per_sec / 1e6:.3f} M upd/s on local[{cpus}]")
         times[f"{tag}_ingest"] = round(ingest_s, 3)
+        spark.sparkContext._jvm.System.gc()  # drop the K build_states' garbage
         cc_runs = []
         for _ in range(2):
             t0 = time.time()
