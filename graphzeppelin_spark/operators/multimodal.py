@@ -253,7 +253,10 @@ def decode_image_meta(media: DataFrame, blob_col: str = "blob") -> DataFrame:
                     "height": pd.array(np.where(ok, hs, None), dtype="Int32"),
                     "channels": pd.array(np.where(ok, cs, None), dtype="Int32"),
                     "n_bytes": nb.to_numpy(np.int64),
-                    "mean_px": np.where(ok, mp, np.nan),
+                    # NULL (not NaN) for invalid rows, matching the Int32
+                    # columns' convention — NaN would poison avg/sum and
+                    # compare NaN=NaN true in Spark SQL
+                    "mean_px": pd.array(np.where(ok, mp, None), dtype="Float64"),
                     "valid": ok,
                 }
             )
@@ -301,8 +304,9 @@ def image_features(media: DataFrame, n_bins: int = 8, blob_col: str = "blob") ->
             yield pd.DataFrame(
                 {
                     "media_id": ids,
-                    "mean_px": pd.array(means, dtype="float64"),
-                    "std_px": pd.array(stds, dtype="float64"),
+                    # nullable Float64: None must reach Spark as NULL, not NaN
+                    "mean_px": pd.array(means, dtype="Float64"),
+                    "std_px": pd.array(stds, dtype="Float64"),
                     "histogram": hists,
                     "valid": ok,
                 }

@@ -51,8 +51,25 @@ def pagerank_df(
     ).persist()
     n = verts.count()
 
+    # order-independent edge-set fingerprint (count + summed hash), needed
+    # only when checkpointing: piggy-backed on the one-time deg
+    # materialization via observe() so it costs no extra pass — a checkpoint
+    # dir reused across different graphs (same n) must NOT silently resume
+    # from the wrong ranks
+    obs = None
+    deg_src = directed_edges
+    if checkpoint_dir is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        deg_src = directed_edges.observe(
+            obs,
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(30,0)")).alias("chk"),
+        )
+
     outdeg = (
-        directed_edges.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("outdeg"))
+        deg_src.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("outdeg"))
     )
     # one row per vertex: (v, outdeg or 0)
     deg = (
@@ -70,13 +87,9 @@ def pagerank_df(
     if checkpoint_dir is not None:
         from graphzeppelin_spark.streaming.checkpoint import CheckpointStore
 
-        # order-independent edge-set fingerprint: a checkpoint dir reused
-        # across different graphs (same n) must NOT silently resume from the
-        # wrong ranks — count + summed hash identifies the edge set
-        fp_row = directed_edges.agg(
-            F.count("*").alias("m"),
-            F.sum(F.xxhash64("src", "dst").cast("decimal(30,0)")).alias("chk"),
-        ).collect()[0]
+        # the deg.count() above scanned the observed plan, so the fingerprint
+        # is already computed — no extra job
+        fp_row = obs.get
         edge_fp = f"{fp_row['m']}:{fp_row['chk']}"
         store = CheckpointStore(spark, checkpoint_dir)
         if store.latest_id() is not None:
@@ -137,6 +150,10 @@ def pagerank_df(
                 .collect()[0][0]
             )
         ranks.unpersist()
+        if _it > start_iter:  # superseded per-iteration localCheckpoint
+            from graphzeppelin_spark.session import free_local_checkpoint
+
+            free_local_checkpoint(ranks)
         ranks = new_ranks
         if store is not None:
             store.commit(

@@ -119,3 +119,26 @@ class aqe_off:
             else:
                 _AQE_STATE[key] = (orig, depth - 1)
         return False
+
+
+def free_local_checkpoint(df) -> None:
+    """Deterministically release a SUPERSEDED localCheckpoint's cached blocks.
+
+    `Dataset.unpersist()` only clears CacheManager entries; the RDD a
+    localCheckpoint materialized stays in the block manager until the
+    ContextCleaner's periodic GC notices the reference died (default every
+    30 min) — so iterative jobs that re-checkpoint per round accumulate dead
+    blocks for the whole run. The checkpointed RDD is reachable as the
+    analyzed plan's LogicalRDD, and unpersisting IT frees the blocks now.
+
+    The DataFrame is unusable afterwards (its lineage was truncated at
+    checkpoint time) — only call this on a checkpoint that nothing will read
+    again. No-op for non-localCheckpoint DataFrames and on any reflection
+    failure (this leans on Spark internals; leaking until the periodic GC is
+    the acceptable fallback)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass

@@ -45,6 +45,39 @@ class NumpyDSU:
             merged += 1
         return merged
 
+    def union_edges_bulk(self, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+        """Vectorized union of an edge batch; returns the boolean mask of
+        edges that became tree (forest) edges.
+
+        Per pass: find all roots (one vectorized find), pick at most one edge
+        per high root (np.unique), write parent[hi_root] = lo_root for the
+        whole selection at once, retry the rest. Writes always point high →
+        low so the parent forest stays acyclic and labels stay canonical
+        (min vertex id). Connectivity equals sequential replay; the tree-edge
+        SET may differ from sequential order but is always a valid spanning
+        forest of the applied edges. Passes needed ≈ log(longest merge
+        chain), each O(batch) numpy work — no per-edge Python."""
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        applied = np.zeros(len(src), dtype=bool)
+        idx = np.arange(len(src))
+        while len(idx):
+            rs = self.find_many(src[idx])
+            rd = self.find_many(dst[idx])
+            diff = rs != rd
+            if not diff.any():
+                break
+            idx = idx[diff]
+            a = np.minimum(rs[diff], rd[diff])
+            b = np.maximum(rs[diff], rd[diff])
+            _, first = np.unique(b, return_index=True)
+            self.parent[b[first]] = a[first]
+            applied[idx[first]] = True
+            keep = np.ones(len(idx), dtype=bool)
+            keep[first] = False
+            idx = idx[keep]
+        return applied
+
     def labels(self) -> np.ndarray:
         """Fully-compressed parent array: label[v] = min vertex id of component."""
         return self.find_many(np.arange(len(self.parent)))

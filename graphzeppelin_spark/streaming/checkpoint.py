@@ -54,17 +54,21 @@ class CheckpointStore:
 
     def commit(self, state: DataFrame, metadata: dict[str, Any]) -> int:
         """Write a new snapshot; returns its id. Metadata file is written last
-        so readers never observe a half-written snapshot."""
+        so readers never observe a half-written snapshot.
+
+        Exactly ONE Spark job per commit: the per-partition lineage metrics
+        (north_rule) come from the written parquet files' footers — each
+        write task produces one part-<taskid> file, so footer row counts ARE
+        the per-partition counts — instead of a second aggregation job over
+        the same state (which would double every commit's compute). Footer
+        reads are driver-side metadata-only; at cluster scale with thousands
+        of files they'd be fetched in parallel or read from the commit
+        manifest an Iceberg writer returns."""
         snap_id = (self.latest_id() or 0) + 1
         d = self._snap_dir(snap_id)
         data_path = os.path.join(d, "state")
-        with_part = state.withColumn("_part", F.spark_partition_id())
-        with_part.write.mode("overwrite").parquet(data_path)
-        # per-partition lineage/metrics (north_rule)
-        part_metrics = [
-            {"partition": int(r["_part"]), "rows": int(r["rows"])}
-            for r in with_part.groupBy("_part").agg(F.count("*").alias("rows")).collect()
-        ]
+        state.write.mode("overwrite").parquet(data_path)
+        part_metrics = self._footer_metrics(data_path)
         meta = dict(metadata)
         meta.update(
             {
@@ -77,6 +81,21 @@ class CheckpointStore:
         with open(os.path.join(d, "metadata.json"), "w") as f:
             json.dump(meta, f, indent=1)
         return snap_id
+
+    @staticmethod
+    def _footer_metrics(data_path: str) -> list[dict[str, int]]:
+        """Per-partition row counts from parquet footers (no Spark job).
+        Partition index = the task id embedded in the part file name."""
+        import pyarrow.parquet as pq
+
+        metrics = []
+        for fn in sorted(os.listdir(data_path)):
+            if not fn.startswith("part-") or not fn.endswith(".parquet"):
+                continue
+            idx = int(fn.split("-")[1])
+            rows = pq.ParquetFile(os.path.join(data_path, fn)).metadata.num_rows
+            metrics.append({"partition": idx, "rows": int(rows)})
+        return metrics
 
     def read(self, snap_id: int | None = None) -> tuple[DataFrame, dict[str, Any]]:
         sid = snap_id if snap_id is not None else self.latest_id()

@@ -162,9 +162,43 @@ class GraphStreamDriver:
         if len(rows) > self.eager_batch_limit:
             self._dsu_valid = False
             return
-        # replay MUST follow stream order: an unordered replay could apply a
-        # delete before the insert it cancels and then union a net-dead edge
-        # into the eager forest (stale connectivity with no invalidation)
+        types = rows["type"].to_numpy()
+        lo = rows["lo"].to_numpy(np.int64)
+        hi = rows["hi"].to_numpy(np.int64)
+        del_mask = types != 0
+        if del_mask.any():
+            # sequential-order reasoning without sequential replay: forest
+            # edges never leave the forest except via invalidation, so a
+            # delete invalidates iff its edge is in the PRE-batch forest or
+            # was inserted (and unioned) earlier in this same batch. The
+            # first case is a set probe; the second is only possible when a
+            # delete's edge also appears as an insert in this batch — rare,
+            # and the one case that genuinely needs ordered replay.
+            if any(
+                (int(s), int(d)) in self._forest
+                for s, d in zip(lo[del_mask].tolist(), hi[del_mask].tolist())
+            ):
+                self._dsu_valid = False
+                return
+            n = self.num_vertices
+            del_codes = lo[del_mask] * n + hi[del_mask]
+            ins_codes = lo[~del_mask] * n + hi[~del_mask]
+            if np.isin(del_codes, ins_codes).any():
+                self._eager_replay_ordered(rows)
+                return
+            lo, hi = lo[~del_mask], hi[~del_mask]
+        # insert-only (or delete-is-no-op) batch: vectorized DSU union passes,
+        # no per-row Python loop on the ingest critical path
+        applied = self._dsu.union_edges_bulk(lo, hi)
+        if applied.any():
+            self._forest.update(
+                zip(lo[applied].tolist(), hi[applied].tolist())
+            )
+
+    def _eager_replay_ordered(self, rows) -> None:
+        """Scalar stream-order replay — only for the rare batch where a
+        delete may cancel an insert from the same batch (unordered replay
+        could union a net-dead edge into the forest with no invalidation)."""
         rows = rows.sort_values("seq")
         types = rows["type"].to_numpy()
         lo = rows["lo"].to_numpy(np.int64)
@@ -190,18 +224,17 @@ class GraphStreamDriver:
         the ingest thread and the query executor thread both touch this map,
         and an unlocked read-modify-write could lose a live pin (state
         unpersisted under a running query) or leak one forever."""
+        from graphzeppelin_spark.session import free_local_checkpoint
+
         with self._pin_lock:
             if id(df) in self._pinned:
                 return  # released when the last snapshot referencing it closes
             df.unpersist()
-
-    def _pin(self, df: DataFrame) -> None:
-        with self._pin_lock:
-            key = id(df)
-            held, refs = self._pinned.get(key, (df, 0))
-            self._pinned[key] = (held, refs + 1)
+            free_local_checkpoint(df)  # non-store states are localCheckpoints
 
     def _unpin(self, df: DataFrame) -> None:
+        from graphzeppelin_spark.session import free_local_checkpoint
+
         with self._pin_lock:
             key = id(df)
             held, refs = self._pinned[key]
@@ -211,6 +244,7 @@ class GraphStreamDriver:
                 del self._pinned[key]
                 if held is not self.state:  # superseded while the snapshot ran
                     held.unpersist()
+                    free_local_checkpoint(held)
 
     def snapshot(self) -> "StateSnapshot":
         """Point-in-time query handle over the current state.
@@ -224,11 +258,20 @@ class GraphStreamDriver:
         never mutate pinned ones. Spark schedules jobs submitted from
         different driver threads concurrently, so a long Boruvka and the next
         batch's build/merge genuinely overlap. Close the snapshot (or use it
-        as a context manager) to release its pin."""
-        snap = StateSnapshot(self, self.state, self.applied_seq)
-        if self.state is not None:
-            self._pin(self.state)
-        return snap
+        as a context manager) to release its pin.
+
+        State is captured ONCE under the pin lock and that same reference is
+        pinned in the same critical section — reading self.state twice would
+        let an _apply_batch swap between the reads pin the new state while
+        the snapshot queries (and later unpins) the old one."""
+        with self._pin_lock:
+            state = self.state
+            seq = self.applied_seq
+            if state is not None:
+                key = id(state)
+                held, refs = self._pinned.get(key, (state, 0))
+                self._pinned[key] = (held, refs + 1)
+        return StateSnapshot(self, state, seq)
 
     def connected_components_async(self) -> Future:
         """Boruvka on a snapshot of the current state, on a background

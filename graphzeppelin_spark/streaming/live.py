@@ -19,8 +19,21 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 from graphzeppelin_spark.operators.sketch_cc import SketchCC
+from graphzeppelin_spark.session import free_local_checkpoint
 from graphzeppelin_spark.sources.stream import STREAM_SCHEMA
 from graphzeppelin_spark.streaming.checkpoint import CheckpointStore
+
+
+def _has_committed_offsets(stream_checkpoint_dir: str) -> bool:
+    """True if a Structured Streaming checkpoint at this path has already
+    committed source offsets — a fresh instance resuming it would silently
+    skip every previously-ingested file."""
+    import os
+
+    off = os.path.join(stream_checkpoint_dir, "offsets")
+    return os.path.isdir(off) and any(
+        not f.startswith(".") for f in os.listdir(off)
+    )
 
 
 class LiveGraphStream:
@@ -51,6 +64,21 @@ class LiveGraphStream:
         self._stream_ckpt = stream_checkpoint_dir
         self._seed = seed
         self._variant = variant
+        # a stream checkpoint with committed offsets means previously-ingested
+        # files will be SKIPPED on restart; a fresh instance must therefore
+        # restore the state that matched those offsets, or refuse to start —
+        # resuming with empty state would silently drop every pre-restart edge
+        if _has_committed_offsets(stream_checkpoint_dir):
+            if self.store is None or self.store.latest_id() is None:
+                raise ValueError(
+                    f"stream checkpoint {stream_checkpoint_dir!r} already has "
+                    "committed offsets but no state snapshot is available to "
+                    "restore; pass the state_checkpoint_dir used by the "
+                    "previous run, or start with a fresh stream checkpoint dir"
+                )
+            state, meta = self.store.read()
+            self.state = state.persist()
+            self.batches_seen = int(meta.get("stream_batch_id", -1)) + 1
 
     def _fold_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -73,6 +101,7 @@ class LiveGraphStream:
             )
         if self.state is not None:
             self.state.unpersist()
+            free_local_checkpoint(self.state)
         self.state = new_state.persist()
         self.batches_seen += 1
 
@@ -142,6 +171,17 @@ class LivePagesStream:
         os.makedirs(source_dir, exist_ok=True)
         self._source = spark.readStream.schema(PAGES_SCHEMA).parquet(source_dir)
         self._stream_ckpt = stream_checkpoint_dir
+        # graph state (dictionary/pending/inserted/sketch) lives in this
+        # instance only; resuming a committed stream checkpoint with empty
+        # state would silently drop every pre-restart page — refuse
+        if _has_committed_offsets(stream_checkpoint_dir):
+            raise ValueError(
+                f"stream checkpoint {stream_checkpoint_dir!r} already has "
+                "committed offsets; LivePagesStream keeps its url dictionary "
+                "and sketch state in-instance, so a fresh instance cannot "
+                "resume those offsets — use a fresh stream checkpoint dir "
+                "(and replay the source) to rebuild the full graph"
+            )
 
     def _fold_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -150,6 +190,10 @@ class LivePagesStream:
 
         if batch_df.isEmpty():
             return
+        # superseded checkpoints, freed once this batch's replacements have
+        # materialized — otherwise dead checkpoint blocks accumulate for the
+        # lifetime of a long-running crawl
+        superseded = [self.dict_df, self.pending, self.inserted]
         # 1. extend the dictionary with the batch's novel urls
         new_urls = batch_df.select("url").distinct()
         if self.dict_df is not None:
@@ -207,6 +251,7 @@ class LivePagesStream:
         ).localCheckpoint(eager=True)
         if new_edges.isEmpty():
             self.batches_seen += 1
+            self._free(superseded + [new_edges])
             return
         stream = new_edges.select(
             F.monotonically_increasing_id().alias("seq"),
@@ -220,8 +265,17 @@ class LivePagesStream:
         ).localCheckpoint(eager=True)
         if self.state is not None:
             self.state.unpersist()
+            superseded.append(self.state)
         self.state = new_state.persist()
         self.batches_seen += 1
+        superseded.append(new_edges)  # consumed by the delta build above
+        self._free(superseded)
+
+    @staticmethod
+    def _free(dfs) -> None:
+        for df in dfs:
+            if df is not None:
+                free_local_checkpoint(df)
 
     def process_available(self) -> None:
         """Consume everything currently in the source directory and stop."""
@@ -233,11 +287,33 @@ class LivePagesStream:
         )
         q.awaitTermination()
 
-    def url_components(self) -> dict[str, int]:
-        """url -> component label (labels are sketch-CC over assigned vids)."""
-        if self.state is None or self.dict_df is None:
-            return {}
+    def url_components_df(self) -> DataFrame:
+        """(url, component) DataFrame — component labels are sketch-CC over
+        the assigned vids. This is the scale path: the result stays
+        distributed (join of the url dictionary against the label table), so
+        no driver structure is Θ(corpus)."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        if self.dict_df is None:
+            return self.spark.createDataFrame([], "url string, component long")
+        if self.state is None:
+            return self.dict_df.select("url", F.col("vid").alias("component"))
         labels, _ = self.alg.boruvka(self.state)
+        labels_df = self.spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vid": np.arange(self.next_vid, dtype=np.int64),
+                    "component": labels[: self.next_vid],
+                }
+            )
+        )
+        return self.dict_df.join(labels_df, "vid").select("url", "component")
+
+    def url_components(self) -> dict[str, int]:
+        """Dict form of url_components_df — Θ(corpus) on the driver by
+        signature; test/debug convenience only, use url_components_df at
+        scale."""
         return {
-            r["url"]: int(labels[r["vid"]]) for r in self.dict_df.collect()
+            r["url"]: int(r["component"]) for r in self.url_components_df().collect()
         }

@@ -65,7 +65,9 @@ _DEDUP_OUT = T.StructType(
         T.StructField("text_md5", T.StringType(), False),
     ]
 )
-_DEDUP_STATE = T.StructType([T.StructField("seen", T.ArrayType(T.StringType()), True)])
+# packed sorted 16-byte digests, one blob per group: ~16B per seen hash vs
+# ~70B+ for an array of 32-char hex strings
+_DEDUP_STATE = T.StructType([T.StructField("seen", T.BinaryType(), True)])
 
 
 def streaming_exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -75,7 +77,15 @@ def streaming_exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     per novel content hash, in arrival order across micro-batches. The
     seen-hash set is partitioned into 256 hash-prefix groups so no single
     group's state grows beyond ~1/256 of the corpus hashes and the state
-    shuffle stays balanced (the same skew argument as the batch operators).
+    shuffle stays balanced (the same skew argument as the batch operators);
+    each group's state is one packed blob of sorted raw digests.
+
+    Scale bound: applyInPandasWithState re-serializes each touched group's
+    whole blob every micro-batch, so total state is still O(distinct hashes)
+    in the state store — fine for bounded keyspaces (sessions, per-tenant
+    sets), wrong for an unbounded corpus. For corpus-scale streaming dedup
+    use StreamingDedup below: its seen-set lives in a compacted parquet
+    table that is only APPENDED per batch, never rewritten.
     """
     hashed = docs.select(
         "doc_id",
@@ -86,16 +96,18 @@ def streaming_exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     def _dedup(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
-        seen = set(state.get[0]) if state.exists else set()
+        blob = (state.get[0] or b"") if state.exists else b""
+        seen = {blob[i : i + 16] for i in range(0, len(blob), 16)}
         for pdf in pdfs:
             # canonical within-batch winner: smallest doc_id of a content
             # group (post-shuffle row order is arbitrary, so sort first)
             pdf = pdf.sort_values("doc_id")
-            fresh = pdf[~pdf["text_md5"].isin(seen) & ~pdf["text_md5"].duplicated()]
-            if len(fresh):
-                seen.update(fresh["text_md5"])
-                yield fresh[["doc_id", "text_md5"]]
-        state.update((sorted(seen),))
+            dig = pdf["text_md5"].map(bytes.fromhex)
+            fresh_mask = ~dig.isin(seen) & ~dig.duplicated()
+            if fresh_mask.any():
+                seen.update(dig[fresh_mask])
+                yield pdf.loc[fresh_mask, ["doc_id", "text_md5"]]
+        state.update((b"".join(sorted(seen)),))
 
     return hashed.groupBy("bucket").applyInPandasWithState(
         _dedup,
@@ -104,3 +116,120 @@ def streaming_exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class StreamingDedup:
+    """Corpus-scale streaming exact dedup with bounded, append-only state.
+
+    The seen-set is a parquet table of (h: 16-byte digest, doc_id) — the
+    survivor set itself. Per micro-batch (foreachBatch):
+
+    1. hash the batch, pick the canonical within-batch winner per digest
+       (min doc_id — one algebraic groupBy);
+    2. stream-static LEFT ANTI join against the survivors table drops
+       everything seen in ANY earlier batch;
+    3. APPEND only the novel rows to the table. Nothing existing is ever
+       rewritten, so per-batch state I/O is O(novel hashes), not O(corpus)
+       — the fix for the applyInPandasWithState variant's rewrite-the-world
+       behavior.
+
+    A retried batch (foreachBatch is at-least-once) re-runs the anti-join
+    against a table that already contains its hashes and appends nothing —
+    the table converges to exactly the first-occurrence set.
+
+    Compaction: appends accumulate one small file set per batch; when the
+    file count passes `compact_threshold` the table is rewritten coalesced
+    and atomically swapped (rename), keeping scan cost flat. At 100 TB the
+    same design holds with the table bucketed by `h` so the anti-join is a
+    co-partitioned shuffle-free probe (Iceberg/Delta compaction jobs replace
+    the rename dance)."""
+
+    def __init__(
+        self,
+        spark,
+        source_dir: str,
+        table_dir: str,
+        stream_checkpoint_dir: str,
+        text_col: str = "text",
+        input_schema: str = "doc_id long, text string",
+        compact_threshold: int = 64,
+    ):
+        import os
+
+        self.spark = spark
+        self.table_dir = table_dir
+        self.text_col = text_col
+        self.compact_threshold = compact_threshold
+        os.makedirs(source_dir, exist_ok=True)
+        self._source = spark.readStream.schema(input_schema).parquet(source_dir)
+        self._stream_ckpt = stream_checkpoint_dir
+
+    def _table_files(self) -> list[str]:
+        import os
+
+        if not os.path.isdir(self.table_dir):
+            return []
+        return [
+            f
+            for f in os.listdir(self.table_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+
+    def _fold(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        winners = (
+            batch_df.select(
+                "doc_id", F.unhex(F.md5(F.col(self.text_col))).alias("h")
+            )
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        if self._table_files():
+            seen = self.spark.read.parquet(self.table_dir).select("h")
+            winners = winners.join(seen, "h", "left_anti")
+        winners.select("h", "doc_id").write.mode("append").parquet(self.table_dir)
+        if len(self._table_files()) > self.compact_threshold:
+            self._compact()
+
+    def _compact(self) -> None:
+        import os
+        import shutil
+
+        tmp = self.table_dir.rstrip("/") + ".compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.spark.read.parquet(self.table_dir).coalesce(
+            max(1, self.compact_threshold // 8)
+        ).write.mode("overwrite").parquet(tmp)
+        old = self.table_dir.rstrip("/") + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.table_dir, old)
+        os.rename(tmp, self.table_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def process_available(self) -> None:
+        """Consume everything currently in the source directory and stop."""
+        q = (
+            self._source.writeStream.foreachBatch(self._fold)
+            .option("checkpointLocation", self._stream_ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def survivors(self) -> DataFrame:
+        """(doc_id, text_md5) — the first-occurrence set so far."""
+        if not self._table_files():
+            return self.spark.createDataFrame([], "doc_id long, text_md5 string")
+        return self.spark.read.parquet(self.table_dir).select(
+            "doc_id", F.lower(F.hex("h")).alias("text_md5")
+        )
+
+    def state_bytes(self) -> int:
+        """On-disk size of the seen/survivor table (the bounded-state gate)."""
+        import os
+
+        return sum(
+            os.path.getsize(os.path.join(self.table_dir, f))
+            for f in self._table_files()
+        )
