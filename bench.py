@@ -30,9 +30,9 @@ KRON_EDGE_FACTOR = int(os.environ.get("SPARK_GRAFT_KRON_EF", "64"))
 KRON17_SCALE = 17
 KRON17_EF = 256
 
-# cheap relational queries first: they double as the session warm-up (JVM
-# codegen, python workers, parquet footers) so the heavy graph queries are
-# measured, not the cold start
+# breadth queries run AFTER the kron headline (which carries its own untimed
+# warm-up pass); cheap relational ones lead so the heavy graph queries at the
+# tail never follow a cold python-worker pool
 BENCH_QUERIES = [
     "rel_scan_agg",
     "rel_join_topk",
@@ -69,12 +69,6 @@ def main() -> None:
     qs = entrymod.queries()
     times: dict[str, float] = {}
     only_kron = os.environ.get("SPARK_GRAFT_ONLY_KRON") == "1"
-    for name in [] if only_kron else BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        log(f"{name}: {times[name]}s ({n} rows)")
 
     # ---- kron insert+delete stream ingest (the headline metric) ----------
     def kron_bench(scale: int, ef: int, tag: str) -> dict:
@@ -107,9 +101,9 @@ def main() -> None:
             num_partitions=max(2 * cpus, 16) if scale <= 15 else 128,
         )
         spark.catalog.clearCache()
-        # the 15 breadth queries leave tenured garbage in the shared local-mode
-        # JVM; without an explicit GC the big ingest absorbs multi-second GC
-        # pauses (measured 11s isolated vs 30s+ late-session on this VM)
+        # prior blocks leave tenured garbage in the shared local-mode JVM;
+        # without an explicit GC a big ingest absorbs multi-second GC pauses
+        # (measured 11s isolated vs 30s+ late-session on this VM)
         spark.sparkContext._jvm.System.gc()
         runs, state = [], None
         n_runs = 4 if scale >= 17 else 3  # headline gets one extra sample
@@ -148,13 +142,25 @@ def main() -> None:
             "cc_sec": round(cc_s, 3),
         }
 
-    kron15 = kron_bench(KRON_SCALE, KRON_EDGE_FACTOR, "kron")
+    # HEADLINE FIRST: the kron_17 ingest runs in a fresh JVM before the
+    # breadth queries — measured on this VM, running it after 15 in-session
+    # queries costs ~40% throughput to tenured garbage + session state
+    # (BENCH_r03 1.92M upd/s in-session vs 2.70M fresh-context on the same
+    # workload; commits 2d8516d/f31055c document the GC tail)
     if os.environ.get("SPARK_GRAFT_KRON17", "1") == "1" and not only_kron:
         kron17 = kron_bench(KRON17_SCALE, KRON17_EF, "kron17")
     else:
         kron17 = None
         log("WARNING: kron_17 skipped — headline falls back to the kron_15 "
             "small-input regime (check headline_workload before comparing)")
+    kron15 = kron_bench(KRON_SCALE, KRON_EDGE_FACTOR, "kron")
+
+    for name in [] if only_kron else BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        log(f"{name}: {times[name]}s ({n} rows)")
 
     headline = kron17 if kron17 is not None else kron15
     out = {

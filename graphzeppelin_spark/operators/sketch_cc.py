@@ -66,6 +66,7 @@ PARTIAL_SCHEMA = T.StructType(
 SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("root", T.LongType(), False),
+        T.StructField("grp", T.IntegerType(), False),
         T.StructField("status", T.IntegerType(), False),
         T.StructField("eid", T.LongType(), False),
     ]
@@ -88,6 +89,7 @@ class SketchCC:
         samples_factor: float = 1.0,
         num_partitions: int | None = None,
         config: "SketchConfig | None" = None,
+        groups_per_round: int = 4,
     ):
         if config is not None:  # unified config surface (config.SketchConfig)
             seed, variant, samples_factor = (
@@ -109,6 +111,13 @@ class SketchCC:
         self.num_partitions = num_partitions or min(
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 64
         )
+        # sample groups consumed per DISTRIBUTED-labels Boruvka round: k
+        # fresh groups sampled against one component partition give up to k
+        # candidate cut edges per component, and one star-contraction of the
+        # combined component graph does the work of >= k classic rounds — so
+        # the number of sequential Spark rounds (the distributed path's cost
+        # driver) drops ~k-fold for the same sample budget
+        self.groups_per_round = groups_per_round
 
     # ------------------------------------------------------------------ build
 
@@ -208,16 +217,16 @@ class SketchCC:
 
     # ------------------------------------------------------------------ query
 
-    def _prune_slice(self, sample_idx: int):
-        """Byte ranges of sample group `sample_idx`'s columns + det bucket —
-        the reference's range_merge column pruning (sketch.cpp:156-179),
-        applied before the Boruvka shuffle."""
+    def _prune_slice(self, group_lo: int, group_hi: int):
+        """Byte range of sample groups [group_lo, group_hi)'s columns — the
+        reference's range_merge column pruning (sketch.cpp:156-179), applied
+        at decode time before the Boruvka shuffle. Groups are contiguous in
+        the bucket layout, so a multi-group slice is one range."""
         g = self.geom
         bpc, cps = g.bkt_per_col, g.cols_per_sample
-        start = sample_idx * cps * bpc * 16
-        width = cps * bpc * 16
-        det_off = (g.num_buckets - 1) * 16
-        return start, width, det_off
+        start = group_lo * cps * bpc * 16
+        width = (group_hi - group_lo) * cps * bpc * 16
+        return start, width
 
     def boruvka(
         self,
@@ -291,7 +300,7 @@ class SketchCC:
             if rnd == 0:
                 sampled = self._sample_round0(state)
             else:
-                sampled = self._sample_round(state, labels, rnd, active)
+                sampled = self._sample_round(state, labels, rnd, rnd + 1, active)
             nonzero = sampled[sampled["status"] != ZERO]
             active = np.unique(nonzero["root"].to_numpy(np.int64))
             good = nonzero[nonzero["status"] == GOOD]
@@ -391,9 +400,7 @@ class SketchCC:
         ).reshape(len(rows), slice_nb, 2).copy()
 
         n_groups = budget - start_round
-        slice_geom = _SliceGeom(g, slice_nb)
-        slice_geom.num_samples = n_groups
-        slice_geom.num_columns = n_groups * cps
+        slice_geom = _SliceGeom(g, slice_nb, n_groups)
 
         total_merged = 0
         for gi in range(n_groups):
@@ -427,19 +434,28 @@ class SketchCC:
 
     def _sample_round0(self, state: DataFrame) -> pd.DataFrame:
         """Round 0: sample every vertex's own sketch (cc_sketch_alg.cpp:223-244
-        analog) — no shuffle at all, one map pass."""
+        analog) — no shuffle at all, one map pass. Decodes ONLY group 0's
+        columns + the deterministic bucket (slice_rows pruning), so the
+        per-task scatter target is ~1/num_samples of the dense matrix."""
         geom = self.geom
+        start, width = self._prune_slice(0, 1)
+        keep_lo, keep_hi = start // 16, (start + width) // 16
+        det_idx = geom.num_buckets - 1
+        slice_nb = width // 16 + 1
+        slice_geom = _SliceGeom(geom, slice_nb, 1)
 
         def _sample(batches):
             for pdf in _concat(batches):
-                sm = SketchMatrix.from_bytes_rows(
-                    geom, pdf["sketch"].tolist(), reuse_slot="decode"
+                arr = SketchMatrix.slice_rows(
+                    pdf["sketch"].tolist(), keep_lo, keep_hi, det_idx, slice_nb
                 )
+                sm = SketchMatrix(slice_geom, len(arr), arr)
                 status, eid = sm.sample_many(0)
                 eid[status != GOOD] = 0
                 yield pd.DataFrame(
                     {
                         "root": pdf["vertex"].to_numpy(np.int64),
+                        "grp": np.zeros(len(arr), dtype=np.int32),
                         "status": status.astype(np.int32),
                         "eid": _u64_col_to_i64(eid),
                     }
@@ -465,16 +481,20 @@ class SketchCC:
         )
 
     def _sampled_components(
-        self, state: DataFrame, labels_df: DataFrame, sample_idx: int
+        self, state: DataFrame, labels_df: DataFrame, group_lo: int, group_hi: int
     ) -> DataFrame:
-        """(root, status, eid) DataFrame — one l0-sample per component using
-        sample group `sample_idx`: prune each sketch to the group's columns
-        at decode time, partial-sum per (partition, root), exchange on root,
-        then one vectorized final-sum + sample over every root in the
-        partition — no per-root Python calls. Components absent from
-        labels_df never enter the round at all (the join is inner)."""
+        """(root, grp, status, eid) DataFrame — one l0-sample per component
+        per sample group in [group_lo, group_hi): prune each sketch to those
+        groups' columns at decode time, partial-sum per (partition, root),
+        exchange on root, then one vectorized final-sum + per-group sample
+        over every root in the partition — no per-root Python calls.
+        Components absent from labels_df never enter the round at all (the
+        join is inner). Sampling k fresh groups against one component
+        partition is statistically equivalent to k classic rounds' worth of
+        samples and costs ONE distributed reduce instead of k."""
         geom = self.geom
-        start, width, _ = self._prune_slice(sample_idx)
+        k = group_hi - group_lo
+        start, width = self._prune_slice(group_lo, group_hi)
         det_idx = geom.num_buckets - 1
         keep_lo, keep_hi = start // 16, (start + width) // 16
         slice_nb = width // 16 + 1
@@ -495,7 +515,7 @@ class SketchCC:
                     {"root": uniq, "sketch": [flat[i].tobytes() for i in range(len(uniq))]}
                 )
 
-        slice_geom = _SliceGeom(geom, slice_nb)
+        slice_geom = _SliceGeom(geom, slice_nb, k)
 
         def _final(batches):
             for pdf in _concat(batches):
@@ -508,15 +528,21 @@ class SketchCC:
                 with np.errstate(over="ignore"):
                     np.add.at(acc, inv, mats)
                 sm = SketchMatrix(slice_geom, len(uniq), acc)
-                status, eid = sm.sample_many(0)
-                eid[status != GOOD] = 0
-                yield pd.DataFrame(
-                    {
-                        "root": uniq,
-                        "status": status.astype(np.int32),
-                        "eid": _u64_col_to_i64(eid),
-                    }
-                )
+                frames = []
+                for gi in range(k):
+                    status, eid = sm.sample_many(gi)
+                    eid[status != GOOD] = 0
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "root": uniq,
+                                "grp": np.full(len(uniq), group_lo + gi, np.int32),
+                                "status": status.astype(np.int32),
+                                "eid": _u64_col_to_i64(eid),
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
         return (
             joined.mapInPandas(_partial, schema=PARTIAL_SCHEMA)
@@ -528,12 +554,15 @@ class SketchCC:
         self,
         state: DataFrame,
         labels: np.ndarray,
-        sample_idx: int,
+        group_lo: int,
+        group_hi: int,
         active: np.ndarray | None = None,
     ) -> pd.DataFrame:
         """Driver-DSU fast path: collect the per-component samples (at most
-        one row per active component, geometrically shrinking)."""
-        out = self._sampled_components(state, self._labels_df(labels, active), sample_idx)
+        one row per active component per group, geometrically shrinking)."""
+        out = self._sampled_components(
+            state, self._labels_df(labels, active), group_lo, group_hi
+        )
         pdf = out.where(F.col("status") != ZERO).toPandas()
         pdf["eid"] = pdf["eid"].astype(np.int64).to_numpy().view(np.uint64)
         return pdf
@@ -549,45 +578,78 @@ class SketchCC:
         )
 
     def connected_components_distributed(
-        self, state: DataFrame, max_rounds: int | None = None
+        self,
+        state: DataFrame,
+        max_rounds: int | None = None,
+        groups_per_round: int | None = None,
+        remap_driver_bytes: int = 64 * 1024 * 1024,
     ) -> DataFrame:
         """(vertex, component) with labels resident as a DataFrame end-to-end —
         the 10^9+-vertex path: no driver structure is ever Θ(num_vertices)
         (boruvka()'s numpy DSU + labels array is the fast path up to ~10^8).
 
-        Per Boruvka round: sample one edge per active component (the same
-        pruned two-stage reduce as the fast path), decode endpoints in the
-        JVM, lift them to component ids through the label table, and contract
-        the resulting component graph with the exact star-contraction CC
-        operator (operators/connectivity.py) — the component graph has at
-        most one edge per active component, so contraction cost shrinks
-        geometrically. Labels update by a (root -> new_root) remap join, and
-        components that sampled ZERO (no cut edges) retire from later rounds.
+        Per Spark round (the sequential-latency unit this path is bound by):
+
+        1. sample k = groups_per_round FRESH sample groups per active
+           component in ONE pruned two-stage reduce (k candidate cut edges
+           per component for the price of one shuffle);
+        2. decode endpoints in the JVM, lift them to component ids through
+           the label table, dedupe — the round's component multigraph;
+        3. contract it: if the sampled edge set fits `remap_driver_bytes`
+           (bounded by actual EDGES collected, never Θ(num_vertices) — the
+           same byte-gate discipline as boruvka()'s driver finish), a numpy
+           DSU computes the (root → new_root) remap in-process; otherwise
+           the exact star-contraction operator (operators/connectivity.py)
+           contracts it distributed;
+        4. one labels checkpoint applies the remap AND carries a per-vertex
+           `act` flag (old root sampled non-ZERO). ZERO components have empty
+           sketches — no incident cut edges — so they can never merge again
+           and a new component is active iff any member was (in fact all
+           members agree: ZERO components only ever merge with nobody), which
+           makes next round's active-component input a simple filter on the
+           labels table instead of a join against a separately checkpointed
+           active set.
+
+        Contracting a k-edge-per-component graph collapses whole merge chains
+        in one round, so the sample budget is consumed in ceil(budget/k)
+        Spark rounds — at kron_17 this plus the fused active flag and the
+        checkpoint-then-count comp-edge materialization (the old
+        isEmpty()-then-recompute double join is gone) is what brings the
+        path's round overhead down toward the driver-DSU fast path.
 
         Vertices with no updates in the stream never appear in `state`; they
         are isolated singletons and are implicitly their own component.
         Returns labels for state vertices only."""
         from graphzeppelin_spark.operators.connectivity import connected_components_df
+        from graphzeppelin_spark.session import free_local_checkpoint
 
         g = self.geom
         n = self.num_vertices
         budget = g.num_samples if max_rounds is None else min(max_rounds, g.num_samples)
-        labels = state.select("vertex", F.col("vertex").alias("root"))
-        labels = labels.localCheckpoint(eager=True)
-        active: DataFrame | None = None  # roots that may still have cut edges
-        for rnd in range(budget):
-            lbl_in = labels if active is None else labels.join(active, "root")
-            samples = self._sampled_components(state, lbl_in, rnd)
-            samples = samples.localCheckpoint(eager=True)
+        k_default = groups_per_round or self.groups_per_round
+        labels = state.select(
+            "vertex", F.col("vertex").alias("root"), F.lit(True).alias("act")
+        ).localCheckpoint(eager=True)
+        prev_samples: DataFrame | None = None
+        gidx = 0
+        while gidx < budget:
+            k = min(k_default, budget - gidx)
+            lbl_in = labels.where(F.col("act")).select("vertex", "root")
+            samples = self._sampled_components(
+                state, lbl_in, gidx, gidx + k
+            ).localCheckpoint(eager=True)
+            gidx += k
+            if prev_samples is not None:
+                free_local_checkpoint(prev_samples)
             good = samples.where(F.col("status") == F.lit(int(GOOD)))
-            # endpoints of the sampled edges, lifted to component ids
+            # endpoints of the sampled edges, lifted to component ids;
+            # dedupe across groups before the label joins
             ends = good.select(
-                "root",
                 F.expr(f"eid div {n}").alias("lo"),
                 F.pmod("eid", F.lit(n)).cast("long").alias("hi"),
             ).where(
                 (F.col("lo") >= 0) & (F.col("lo") < F.col("hi")) & (F.col("hi") < n)
-            )
+            ).distinct()
             lv = labels.select(F.col("vertex").alias("lo"), F.col("root").alias("ra"))
             hv = labels.select(F.col("vertex").alias("hi"), F.col("root").alias("rb"))
             comp_edges = (
@@ -598,28 +660,63 @@ class SketchCC:
                     F.least("ra", "rb").alias("src"), F.greatest("ra", "rb").alias("dst")
                 )
                 .distinct()
+                .localCheckpoint(eager=True)
             )
-            if comp_edges.isEmpty():
+            n_edges = comp_edges.count()  # cached — no recompute
+            if n_edges == 0:
+                free_local_checkpoint(comp_edges)
+                prev_samples = samples
                 break
-            remap = connected_components_df(comp_edges).select(
-                F.col("v").alias("root"), F.col("component").alias("new_root")
+            if n_edges * 16 <= remap_driver_bytes:
+                remap = self._remap_from_edges_driver(comp_edges)
+                remap = F.broadcast(remap)
+            else:
+                remap = connected_components_df(comp_edges).select(
+                    F.col("v").alias("root"), F.col("component").alias("new_root")
+                ).where(F.col("root") != F.col("new_root"))
+            nonzero = (
+                samples.where(F.col("status") != F.lit(int(ZERO)))
+                .select("root")
+                .distinct()
+                .withColumn("_nz", F.lit(True))
             )
+            old_labels = labels
             labels = (
-                labels.join(remap, "root", "left")
+                labels.select("vertex", "root")
+                .join(remap, "root", "left")
+                .join(nonzero, "root", "left")
                 .select(
-                    "vertex", F.coalesce("new_root", "root").alias("root")
+                    "vertex",
+                    F.coalesce("new_root", "root").alias("root"),
+                    F.coalesce("_nz", F.lit(False)).alias("act"),
                 )
                 .localCheckpoint(eager=True)
             )
-            active = (
-                samples.where(F.col("status") != F.lit(int(ZERO)))
-                .select("root")
-                .join(remap, "root", "left")
-                .select(F.coalesce("new_root", "root").alias("root"))
-                .distinct()
-                .localCheckpoint(eager=True)
-            )
+            free_local_checkpoint(old_labels)
+            free_local_checkpoint(comp_edges)
+            prev_samples = samples
+        if prev_samples is not None:
+            free_local_checkpoint(prev_samples)
         return labels.select("vertex", F.col("root").alias("component"))
+
+    def _remap_from_edges_driver(self, comp_edges: DataFrame) -> DataFrame:
+        """(root, new_root) remap for a BOUNDED component-edge set, solved on
+        the driver in numpy (size gated by the caller on the actual edge
+        count, never Θ(num_vertices)). Labels are canonical (min component
+        id) because ids are sorted before the local DSU runs."""
+        pdf = comp_edges.toPandas()
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        ids = np.unique(np.concatenate([src, dst]))
+        local = NumpyDSU(len(ids))
+        local.union_edges_bulk(
+            np.searchsorted(ids, src), np.searchsorted(ids, dst)
+        )
+        new_root = ids[local.labels()]
+        changed = new_root != ids
+        return self.spark.createDataFrame(
+            pd.DataFrame({"root": ids[changed], "new_root": new_root[changed]})
+        )
 
     def spanning_forest(self, state: DataFrame) -> DataFrame:
         _, forest = self.boruvka(state)
@@ -687,17 +784,18 @@ class SketchCC:
 
 
 class _SliceGeom:
-    """Geometry view for a pruned one-sample-group slice: the slice looks like
-    a sketch with num_samples=1 whose columns are the group's columns."""
+    """Geometry view for a pruned k-sample-group slice: the slice looks like
+    a sketch with num_samples=k whose columns are those groups' columns
+    (contiguous in the bucket layout), det bucket in the last slot."""
 
-    def __init__(self, full: SketchGeometry, slice_nbuckets: int):
+    def __init__(self, full: SketchGeometry, slice_nbuckets: int, k: int = 1):
         self.num_vertices = full.num_vertices
         self.seed = full.seed
         self.variant = full.variant
         self.bkt_per_col = full.bkt_per_col
         self.cols_per_sample = full.cols_per_sample
-        self.num_samples = 1
-        self.num_columns = full.cols_per_sample
+        self.num_samples = k
+        self.num_columns = k * full.cols_per_sample
         self.num_buckets = slice_nbuckets
         self.checksum_seed = full.checksum_seed
 

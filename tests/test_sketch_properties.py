@@ -166,3 +166,18 @@ def test_driver_random_streams_random_batches(spark, pairs, n_batches):
         drv.process_stream_until(upto)
         expected = oracle.connected_components(oracle.live_edges(s, n, upto), n)
         np.testing.assert_array_equal(drv.connected_components(), expected)
+
+
+def test_column_success_group_acceptance_reduced():
+    """Reduced run of the reference's statistical column-success protocol
+    (tools/sketch_testing.cpp / sum_sketch_testing.py, full 500-trial run in
+    scripts/column_success_harness.py → BENCH/column_success.json): the
+    sample-group success probability must clear the reference's 0.76
+    acceptance at EVERY nonzero count for both variants."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.column_success_harness import run
+
+    for variant in ("cubesketch", "cameo"):
+        r = run(32, 150, variant)  # z ∈ [1, 257]
+        assert r["group"]["n_below_0.76"] == 0, (variant, r["group"])
