@@ -112,6 +112,9 @@ def main() -> None:
             for _ in range(n_runs):  # best-of-K: this VM's noise is 2-4x run-to-run
                 if state is not None:
                     state.unpersist()
+                # per-run GC: each build_state leaves ~1GB of shuffle/Arrow
+                # garbage; without this, run k pays run k-1's collection
+                spark.sparkContext._jvm.System.gc()
                 t0 = time.time()
                 state = alg.build_state(stream).persist()
                 state.count()
@@ -147,7 +150,7 @@ def main() -> None:
     # queries costs ~40% throughput to tenured garbage + session state
     # (BENCH_r03 1.92M upd/s in-session vs 2.70M fresh-context on the same
     # workload; commits 2d8516d/f31055c document the GC tail)
-    if os.environ.get("SPARK_GRAFT_KRON17", "1") == "1" and not only_kron:
+    if os.environ.get("SPARK_GRAFT_KRON17", "1") == "1":
         kron17 = kron_bench(KRON17_SCALE, KRON17_EF, "kron17")
     else:
         kron17 = None

@@ -175,9 +175,11 @@ def test_ann_candidate_scoring_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_build_state_has_two_exchanges(spark, parquet_stream):
-    """Ingest = exactly two exchanges: the (vertex,eid) net-agg shuffle (with
-    map-side partial_sum) and the repartition(vertex) gutter shuffle."""
+def test_build_state_has_single_exchange(spark, parquet_stream):
+    """Ingest = exactly ONE exchange: the repartition(vertex) gutter shuffle.
+    hashpartitioning(vertex) satisfies the (vertex, eid) clustered
+    distribution, so the net-multiplicity groupBy must run partition-local
+    AFTER it — a second exchange here is the round-3 plan regressing."""
     from graphzeppelin_spark.operators.sketch_cc import SketchCC
 
     import re
@@ -185,8 +187,8 @@ def test_build_state_has_two_exchanges(spark, parquet_stream):
     alg = SketchCC(spark, num_vertices=256, seed=3)
     plan = _plan(alg.build_state(parquet_stream))
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
-    assert n_exchanges == 2
-    assert "partial_sum" in plan  # map-side combine before the net-agg shuffle
+    assert n_exchanges == 1, plan
+    assert "HashAggregate" in plan  # the net agg is still there, post-shuffle
 
 
 def test_simhash_is_pure_catalyst(spark):
