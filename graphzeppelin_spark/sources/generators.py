@@ -155,15 +155,32 @@ def kron_stream(
     n = 1 << scale
     m = edge_factor * n
 
-    # vectorized RMAT: each of `scale` bits chosen by quadrant probabilities
+    # vectorized RMAT: each of `scale` bits chosen by quadrant probabilities.
+    # All per-bit work runs in PREALLOCATED buffers with out= ufuncs: a fresh
+    # rng.random(m)/astype per bit allocates (and first-touch page-faults)
+    # gigabytes per iteration, which on this VM dominates end-to-end (275 s
+    # vs seconds for the same arithmetic at scale 19). Same rng consumption
+    # and same arithmetic → byte-identical streams to the allocating form.
     src = np.zeros(m, dtype=np.int64)
     dst = np.zeros(m, dtype=np.int64)
+    r = np.empty(m, dtype=np.float64)
+    bit_buf = np.empty(m, dtype=np.int64)
+    mask = np.empty(m, dtype=bool)
+    tmp = np.empty(m, dtype=bool)
     for bit in range(scale):
-        r = rng.random(m)
-        src_bit = (r >= a + b).astype(np.int64)  # quadrants c,d set src bit
-        dst_bit = (((r >= a) & (r < a + b)) | (r >= a + b + c)).astype(np.int64)
-        src |= src_bit << bit
-        dst |= dst_bit << bit
+        rng.random(out=r)
+        np.greater_equal(r, a + b, out=mask)  # quadrants c,d set src bit
+        np.copyto(bit_buf, mask)
+        np.left_shift(bit_buf, bit, out=bit_buf)
+        np.bitwise_or(src, bit_buf, out=src)
+        np.greater_equal(r, a, out=mask)  # dst bit: quadrant b or d
+        np.less(r, a + b, out=tmp)
+        np.logical_and(mask, tmp, out=mask)
+        np.greater_equal(r, a + b + c, out=tmp)
+        np.logical_or(mask, tmp, out=mask)
+        np.copyto(bit_buf, mask)
+        np.left_shift(bit_buf, bit, out=bit_buf)
+        np.bitwise_or(dst, bit_buf, out=dst)
 
     keep = src != dst
     src, dst = src[keep], dst[keep]

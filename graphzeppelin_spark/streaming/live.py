@@ -146,7 +146,15 @@ class LivePagesStream:
 
     Queries run between triggers against the current state, exactly like
     LiveGraphStream. Vertex capacity is fixed up front (sketch geometry),
-    so `num_vertices_capacity` bounds the crawl size of one state."""
+    so `num_vertices_capacity` bounds the crawl size of one state.
+
+    Durability: with `state_checkpoint_dir` set, every micro-batch commits
+    an atomic snapshot of all four tables (dictionary/pending/inserted/
+    sketch state) + next_vid, and a NEW instance pointed at the same dirs
+    RESUMES it — source offsets from the stream checkpoint, graph state
+    from the snapshot, nothing replayed twice and nothing lost. Without it,
+    a committed stream checkpoint is refused for a fresh instance (resuming
+    offsets with empty state would silently drop every pre-restart page)."""
 
     def __init__(
         self,
@@ -156,6 +164,7 @@ class LivePagesStream:
         num_vertices_capacity: int,
         seed: int = 42,
         variant: str = "cameo",
+        state_checkpoint_dir: str | None = None,
     ):
         import os
 
@@ -171,17 +180,83 @@ class LivePagesStream:
         os.makedirs(source_dir, exist_ok=True)
         self._source = spark.readStream.schema(PAGES_SCHEMA).parquet(source_dir)
         self._stream_ckpt = stream_checkpoint_dir
-        # graph state (dictionary/pending/inserted/sketch) lives in this
-        # instance only; resuming a committed stream checkpoint with empty
-        # state would silently drop every pre-restart page — refuse
+        self._state_ckpt = state_checkpoint_dir
         if _has_committed_offsets(stream_checkpoint_dir):
-            raise ValueError(
-                f"stream checkpoint {stream_checkpoint_dir!r} already has "
-                "committed offsets; LivePagesStream keeps its url dictionary "
-                "and sketch state in-instance, so a fresh instance cannot "
-                "resume those offsets — use a fresh stream checkpoint dir "
-                "(and replay the source) to rebuild the full graph"
+            snap = self._latest_snapshot()
+            if snap is None:
+                raise ValueError(
+                    f"stream checkpoint {stream_checkpoint_dir!r} already has "
+                    "committed offsets but no state snapshot exists to restore; "
+                    "pass the state_checkpoint_dir the previous run used, or "
+                    "start with a fresh stream checkpoint dir (and replay the "
+                    "source) to rebuild the full graph"
+                )
+            self._restore_snapshot(snap)
+
+    # -------------------------------------------------- durable state snapshots
+
+    _TABLES = ("dict_df", "pending", "inserted", "state")
+    _SCHEMAS = {
+        "dict_df": "url string, vid long",
+        "pending": "src_url string, dst_url string",
+        "inserted": "src long, dst long",
+        "state": "vertex long, sketch binary",
+    }
+
+    def _latest_snapshot(self) -> str | None:
+        import os
+
+        if self._state_ckpt is None or not os.path.isdir(self._state_ckpt):
+            return None
+        snaps = sorted(
+            d
+            for d in os.listdir(self._state_ckpt)
+            if d.startswith("snap-")
+            and os.path.exists(os.path.join(self._state_ckpt, d, "metadata.json"))
+        )
+        return os.path.join(self._state_ckpt, snaps[-1]) if snaps else None
+
+    def _commit_snapshot(self, batch_id: int) -> None:
+        """Atomic snapshot of the full crawl state: four parquet tables +
+        metadata, metadata written LAST so readers never see a half
+        snapshot (same discipline as CheckpointStore)."""
+        import json
+        import os
+
+        d = os.path.join(self._state_ckpt, f"snap-{self.batches_seen:08d}")
+        for name in self._TABLES:
+            df = getattr(self, name)
+            if df is None:
+                df = self.spark.createDataFrame([], self._SCHEMAS[name])
+            df.write.mode("overwrite").parquet(os.path.join(d, name))
+        with open(os.path.join(d, "metadata.json"), "w") as f:
+            json.dump(
+                {
+                    "next_vid": self.next_vid,
+                    "batches_seen": self.batches_seen,
+                    "stream_batch_id": int(batch_id),
+                    "capacity": self.capacity,
+                },
+                f,
             )
+
+    def _restore_snapshot(self, snap_dir: str) -> None:
+        import json
+        import os
+
+        with open(os.path.join(snap_dir, "metadata.json")) as f:
+            meta = json.load(f)
+        if meta["capacity"] != self.capacity:
+            raise ValueError(
+                f"snapshot capacity {meta['capacity']} != requested {self.capacity}"
+            )
+        for name in self._TABLES:
+            df = self.spark.read.parquet(os.path.join(snap_dir, name))
+            setattr(self, name, None if df.isEmpty() else df)
+        if self.state is not None:
+            self.state = self.state.persist()
+        self.next_vid = int(meta["next_vid"])
+        self.batches_seen = int(meta["batches_seen"])
 
     def _fold_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -251,6 +326,8 @@ class LivePagesStream:
         ).localCheckpoint(eager=True)
         if new_edges.isEmpty():
             self.batches_seen += 1
+            if self._state_ckpt is not None:
+                self._commit_snapshot(batch_id)
             self._free(superseded + [new_edges])
             return
         stream = new_edges.select(
@@ -268,6 +345,8 @@ class LivePagesStream:
             superseded.append(self.state)
         self.state = new_state.persist()
         self.batches_seen += 1
+        if self._state_ckpt is not None:
+            self._commit_snapshot(batch_id)
         superseded.append(new_edges)  # consumed by the delta build above
         self._free(superseded)
 

@@ -316,3 +316,48 @@ def test_checkpoint_commit_footer_metrics(spark, tmp_path):
     assert sum(p["rows"] for p in meta["partitions"]) == 1000
     assert len(meta["partitions"]) == 4
     assert "_part" not in back.columns
+
+
+def test_live_pages_resume_from_state_snapshot(spark, tmp_path):
+    """With state_checkpoint_dir set, a NEW LivePagesStream instance resumes
+    the committed stream offsets AND the full crawl state (dictionary,
+    pending forward-links, inserted edges, sketch) — no page lost, no edge
+    double-folded."""
+    from graphzeppelin_spark.oracle import UnionFind
+    from graphzeppelin_spark.sources.generators import pages_table, url_for_vertex
+    from graphzeppelin_spark.streaming.live import LivePagesStream
+
+    n = 32
+    src = np.array([v for v in range(n - 1) if v != 15], dtype=np.int64)
+    edges = pd.DataFrame({"src": src, "dst": src + 1})
+    pages = pages_table(edges, n)
+    src_dir = str(tmp_path / "crawl")
+    kw = dict(
+        stream_checkpoint_dir=str(tmp_path / "sck"),
+        num_vertices_capacity=n,
+        state_checkpoint_dir=str(tmp_path / "state"),
+    )
+    live = LivePagesStream(spark, src_dir, **kw)
+    spark.createDataFrame(pages.iloc[:16]).coalesce(1).write.mode("append").parquet(src_dir)
+    live.process_available()
+    vid_before = {r["url"]: r["vid"] for r in live.dict_df.collect()}
+
+    # restart: fresh instance, same dirs
+    live2 = LivePagesStream(spark, src_dir, **kw)
+    assert live2.next_vid == live.next_vid
+    # vids are stable across the restart (ids never reshuffled)
+    assert {r["url"]: r["vid"] for r in live2.dict_df.collect()} == vid_before
+    spark.createDataFrame(pages.iloc[16:]).coalesce(1).write.mode("append").parquet(src_dir)
+    live2.process_available()
+
+    uf = UnionFind(n)
+    for s, d in edges.itertuples(index=False):
+        uf.union(int(s), int(d))
+    got = {}
+    for url, label in live2.url_components().items():
+        got.setdefault(label, set()).add(url)
+    want = {}
+    for v in range(n):
+        want.setdefault(uf.find(v), set()).add(url_for_vertex(v))
+    assert {frozenset(g) for g in got.values()} == {frozenset(g) for g in want.values()}
+    assert live2.pending.count() == 0
