@@ -92,6 +92,32 @@ def q_cc_sketch_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alg.connected_components(state)
 
 
+def q_cc_distributed_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrame-resident-labels CC path (sketch_cc.py
+    connected_components_distributed — the 10^9-vertex regime) under the
+    same chain oracle as cc_chain: every chain vertex carries an edge, so
+    the state covers the full vertex set and the labelings must agree
+    exactly."""
+    from graphzeppelin_spark.operators.sketch_cc import SketchCC
+
+    edges = _chain_edges(spark, sf_dir)
+    n = edges.agg(F.max("dst")).collect()[0][0] + 1
+    stream = edges.select(
+        F.monotonically_increasing_id().alias("seq"),
+        F.lit(0).alias("type"),
+        "src",
+        "dst",
+    )
+    alg = SketchCC(spark, num_vertices=int(n), seed=42)
+    state = alg.build_state(stream)
+    out = alg.connected_components_distributed(state).select(
+        F.col("vertex").alias("v"), "component"
+    )
+    # contract scope: the oracle labels customer vertices; the distributed
+    # path labels STATE vertices (which also include chain vertex 0)
+    return out.join(_chain_vertices(spark, sf_dir), "v")
+
+
 def q_labelprop_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphzeppelin_spark.operators.labelprop import label_propagation_df
 
@@ -701,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cc_chain": q_cc_chain,
         "cc_sketch_chain": q_cc_sketch_chain,
+        "cc_distributed_chain": q_cc_distributed_chain,
         "labelprop_chain": q_labelprop_chain,
         "pagerank_chain": q_pagerank_chain,
         "triangle_count_circulant": q_triangle_count,
@@ -991,6 +1018,7 @@ FROM embeddings WHERE vec_id % 50 = 0
     return {
         "cc_chain": _CC_CHAIN_ORACLE,
         "cc_sketch_chain": _CC_CHAIN_ORACLE,
+        "cc_distributed_chain": _CC_CHAIN_ORACLE,
         "labelprop_chain": _CC_CHAIN_ORACLE,
         "pagerank_chain": _pagerank_oracle(),
         "triangle_count_circulant": f"WITH {_CIRC_SQL} SELECT count(*) AS n_triangles FROM tri",
