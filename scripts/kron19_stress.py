@@ -67,13 +67,18 @@ def main() -> None:
     n = 1 << SCALE
     cache = f"/tmp/gz_bench_kron_{SCALE}_{EF}.parquet"
     if not os.path.exists(cache):
-        from graphzeppelin_spark.sources.generators import kron_stream
+        # distributed generation: the driver-side kron_stream at scale 19 is
+        # ~20 min single-core and ~28 GB driver RSS on this VM; the
+        # mapInPandas generator parallelizes across every core and the
+        # driver never holds the stream (same RMAT distribution, different
+        # rng consumption order — n_updates differs slightly from the
+        # driver-side form)
+        from graphzeppelin_spark.sources.generators import kron_stream_distributed
 
         t0 = time.time()
-        pdf = kron_stream(scale=SCALE, edge_factor=EF, seed=42)
-        print(f"generated {len(pdf)} updates in {time.time() - t0:.0f}s", file=sys.stderr)
-        spark.createDataFrame(pdf).repartition(4 * CPUS).write.mode("overwrite").parquet(cache)
-        del pdf
+        stream_gen = kron_stream_distributed(spark, scale=SCALE, edge_factor=EF, seed=42)
+        stream_gen.repartition(4 * CPUS).write.mode("overwrite").parquet(cache)
+        print(f"generated (distributed) in {time.time() - t0:.0f}s", file=sys.stderr)
     stream = spark.read.parquet(cache)
     n_updates = stream.count()
 
