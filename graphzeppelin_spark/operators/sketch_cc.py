@@ -471,17 +471,24 @@ class SketchCC:
                 break
         return total_merged
 
-    def _sample_round0(self, state: DataFrame) -> pd.DataFrame:
-        """Round 0: sample every vertex's own sketch (cc_sketch_alg.cpp:223-244
-        analog) — no shuffle at all, one map pass. Decodes ONLY group 0's
-        columns + the deterministic bucket (slice_rows pruning), so the
-        per-task scatter target is ~1/num_samples of the dense matrix."""
+    def _sampled_vertices(
+        self, state: DataFrame, group_lo: int, group_hi: int
+    ) -> DataFrame:
+        """(root=vertex, grp, status, eid) for sample groups
+        [group_lo, group_hi) of every vertex's OWN sketch — the no-shuffle,
+        no-join sampler for rounds where the label map is the identity
+        (every vertex its own component): one map pass, pruned decode
+        (slice_rows), no aggregation. At web scale this round would
+        otherwise be the most expensive one — every vertex is an "active
+        component", so the generic path's dense per-root slice shuffle is
+        Θ(vertices x slice bytes)."""
         geom = self.geom
-        start, width = self._prune_slice(0, 1)
+        k = group_hi - group_lo
+        start, width = self._prune_slice(group_lo, group_hi)
         keep_lo, keep_hi = start // 16, (start + width) // 16
         det_idx = geom.num_buckets - 1
         slice_nb = width // 16 + 1
-        slice_geom = _SliceGeom(geom, slice_nb, 1)
+        slice_geom = _SliceGeom(geom, slice_nb, k)
 
         def _sample(batches):
             for pdf in _concat(batches):
@@ -489,18 +496,29 @@ class SketchCC:
                     pdf["sketch"].tolist(), keep_lo, keep_hi, det_idx, slice_nb
                 )
                 sm = SketchMatrix(slice_geom, len(arr), arr)
-                status, eid = sm.sample_many(0)
-                eid[status != GOOD] = 0
-                yield pd.DataFrame(
-                    {
-                        "root": pdf["vertex"].to_numpy(np.int64),
-                        "grp": np.zeros(len(arr), dtype=np.int32),
-                        "status": status.astype(np.int32),
-                        "eid": _u64_col_to_i64(eid),
-                    }
-                )
+                verts = pdf["vertex"].to_numpy(np.int64)
+                frames = []
+                for gi in range(k):
+                    status, eid = sm.sample_many(gi)
+                    eid[status != GOOD] = 0
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "root": verts,
+                                "grp": np.full(len(arr), group_lo + gi, np.int32),
+                                "status": status.astype(np.int32),
+                                "eid": _u64_col_to_i64(eid),
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
-        out = state.mapInPandas(_sample, schema=SAMPLE_SCHEMA)
+        return state.mapInPandas(_sample, schema=SAMPLE_SCHEMA)
+
+    def _sample_round0(self, state: DataFrame) -> pd.DataFrame:
+        """Round 0 of the driver-DSU fast path: sample every vertex's own
+        sketch (cc_sketch_alg.cpp:223-244 analog) — no shuffle at all."""
+        out = self._sampled_vertices(state, 0, 1)
         # non-ZERO rows only: ZERO rows are isolated vertices (usually most
         # of a web graph) and are excluded from every subsequent round
         pdf = out.where(F.col("status") != ZERO).toPandas()
@@ -673,10 +691,18 @@ class SketchCC:
         gidx = 0
         while gidx < budget:
             k = min(k_default, budget - gidx)
-            lbl_in = labels.where(F.col("act")).select("vertex", "root")
-            samples = self._sampled_components(
-                state, lbl_in, gidx, gidx + k
-            ).localCheckpoint(eager=True)
+            first_round = gidx == 0
+            if first_round:
+                # identity label map: every vertex is its own component, so
+                # per-component sampling needs no join, no aggregation and
+                # no shuffle — the generic path would ship a dense slice
+                # per VERTEX through the exchange here (the most expensive
+                # round by far at web scale)
+                samples = self._sampled_vertices(state, 0, k)
+            else:
+                lbl_in = labels.where(F.col("act")).select("vertex", "root")
+                samples = self._sampled_components(state, lbl_in, gidx, gidx + k)
+            samples = samples.localCheckpoint(eager=True)
             gidx += k
             if prev_samples is not None:
                 free_local_checkpoint(prev_samples)
@@ -689,18 +715,24 @@ class SketchCC:
             ).where(
                 (F.col("lo") >= 0) & (F.col("lo") < F.col("hi")) & (F.col("hi") < n)
             ).distinct()
-            lv = labels.select(F.col("vertex").alias("lo"), F.col("root").alias("ra"))
-            hv = labels.select(F.col("vertex").alias("hi"), F.col("root").alias("rb"))
-            comp_edges = (
-                ends.join(lv, "lo")
-                .join(hv, "hi")
-                .where(F.col("ra") != F.col("rb"))
-                .select(
-                    F.least("ra", "rb").alias("src"), F.greatest("ra", "rb").alias("dst")
+            if first_round:
+                # identity labels: endpoints ARE the component ids
+                comp_edges = ends.select(
+                    F.col("lo").alias("src"), F.col("hi").alias("dst")
+                ).localCheckpoint(eager=True)
+            else:
+                lv = labels.select(F.col("vertex").alias("lo"), F.col("root").alias("ra"))
+                hv = labels.select(F.col("vertex").alias("hi"), F.col("root").alias("rb"))
+                comp_edges = (
+                    ends.join(lv, "lo")
+                    .join(hv, "hi")
+                    .where(F.col("ra") != F.col("rb"))
+                    .select(
+                        F.least("ra", "rb").alias("src"), F.greatest("ra", "rb").alias("dst")
+                    )
+                    .distinct()
+                    .localCheckpoint(eager=True)
                 )
-                .distinct()
-                .localCheckpoint(eager=True)
-            )
             n_edges = comp_edges.count()  # cached — no recompute
             if n_edges == 0:
                 free_local_checkpoint(comp_edges)
