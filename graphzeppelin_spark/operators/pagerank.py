@@ -46,9 +46,16 @@ def pagerank_df(
     verts = (vertices if vertices is not None else vertices_of(edges)).select(
         F.col("v").cast("long")
     )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # hash-partition the big immutable table ONCE on its per-iteration join
+    # key: every iteration's contribution join then reuses this partitioning
+    # and exchanges only the (small) ranks side — without it the full edge
+    # table reshuffles every superstep, the dominant cost at scale
     directed_edges = (
-        edges.select("src", "dst") if directed else bidirect(edges)
-    ).persist()
+        (edges.select("src", "dst") if directed else bidirect(edges))
+        .repartition(n_part, "src")
+        .persist()
+    )
     n = verts.count()
 
     # order-independent edge-set fingerprint (count + summed hash), needed
@@ -71,10 +78,13 @@ def pagerank_df(
     outdeg = (
         deg_src.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("outdeg"))
     )
-    # one row per vertex: (v, outdeg or 0)
+    # one row per vertex: (v, outdeg or 0), partitioned on v so the
+    # per-iteration deg⋈contribs join is co-partitioned with the
+    # groupBy(v2) aggregation output (no exchange on either side)
     deg = (
         verts.join(outdeg, "v", "left")
         .select("v", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .repartition(n_part, "v")
         .persist()
     )
     deg.count()
@@ -114,9 +124,18 @@ def pagerank_df(
         ranks = deg.select("v", F.lit(1.0 / n).alias("score"), "outdeg").persist()
     # one-time: if no vertex is dangling, skip the per-iteration mass collect
     has_dangling = deg.where(F.col("outdeg") == 0).limit(1).count() > 0
+    # ranks is one 16-byte row per vertex: up to ~16M vertices it broadcasts
+    # in a few hundred MB and the whole iteration collapses to ONE skinny
+    # exchange (map-side join with edges + partial-agg before the groupBy
+    # shuffle, contribs broadcast back into deg). Beyond that, the
+    # co-partitioned plan (edges and deg pre-hashed on their join keys,
+    # exchange only the ranks/contribs sides) takes over — the web-scale
+    # shape, since the edge table never reshuffles either way.
+    broadcast_ranks = n <= 16_000_000
     for _it in range(start_iter, iters):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (
-            directed_edges.join(ranks, directed_edges.src == ranks.v)
+            directed_edges.join(r, directed_edges.src == r.v)
             .select(
                 F.col("dst").alias("v2"),
                 (F.col("score") / F.col("outdeg")).alias("contrib"),
@@ -129,8 +148,9 @@ def pagerank_df(
             if has_dangling
             else 0.0
         )
+        c = F.broadcast(contribs) if broadcast_ranks else contribs
         new_ranks = (
-            deg.join(contribs, deg.v == contribs.v2, "left")
+            deg.join(c, deg.v == c.v2, "left")
             .select(
                 deg.v,
                 (
@@ -143,9 +163,12 @@ def pagerank_df(
             .localCheckpoint(eager=True)
         )
         if num_iters is None:
+            old = ranks.alias("o")
+            if broadcast_ranks:
+                old = F.broadcast(old)
             delta = (
                 new_ranks.alias("n")
-                .join(ranks.alias("o"), F.col("n.v") == F.col("o.v"))
+                .join(old, F.col("n.v") == F.col("o.v"))
                 .agg(F.max(F.abs(F.col("n.score") - F.col("o.score"))).alias("d"))
                 .collect()[0][0]
             )
