@@ -33,10 +33,19 @@ def label_propagation_df(
     fixpoint in O(log d) instead of O(d) rounds on high-diameter graphs."""
     verts = vertices if vertices is not None else vertices_of(edges)
     labels = verts.select(F.col("v").cast("long"), F.col("v").cast("long").alias("label"))
-    edges_bi = bidirect(edges).persist()
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # hash-partition the immutable edge table ONCE on the superstep join key
+    # (same discipline as pagerank_df): iterations exchange only the labels
+    edges_bi = bidirect(edges).repartition(n_part, "src").persist()
     edges_bi.count()
 
     labels = labels.persist()
+    n_verts = labels.count()
+    # labels are 16-byte rows: broadcast them through the superstep joins up
+    # to ~16M vertices (map-side join, one skinny exchange per superstep);
+    # beyond that the co-partitioned shuffle plan takes over
+    broadcast_labels = n_verts <= 16_000_000
 
     def _sig(df: DataFrame) -> int:
         # order-insensitive content hash in one job (fixpoint detection)
@@ -49,7 +58,8 @@ def label_propagation_df(
 
     cur_sig = _sig(labels)
     for _ in range(max_iters):
-        nbr = edges_bi.join(labels, edges_bi.src == labels.v).select(
+        lbl = F.broadcast(labels) if broadcast_labels else labels
+        nbr = edges_bi.join(lbl, edges_bi.src == lbl.v).select(
             F.col("dst").alias("v2"), "label"
         )
         if rule == "min":
@@ -64,6 +74,8 @@ def label_propagation_df(
             )
         else:
             raise ValueError(f"unknown rule: {rule}")
+        if broadcast_labels:
+            agg = F.broadcast(agg)
         stepped = labels.join(agg, labels.v == F.col("v2"), "left").select(
             labels.v,
             (
@@ -76,6 +88,8 @@ def label_propagation_df(
             mapping = stepped.select(
                 F.col("v").alias("mv"), F.col("label").alias("mlabel")
             )
+            if broadcast_labels:
+                mapping = F.broadcast(mapping)
             stepped = stepped.join(
                 mapping, stepped.label == mapping.mv, "left"
             ).select(
@@ -87,6 +101,9 @@ def label_propagation_df(
         new_labels = stepped.localCheckpoint(eager=True)
         new_sig = _sig(new_labels)
         labels.unpersist()
+        from graphzeppelin_spark.session import free_local_checkpoint
+
+        free_local_checkpoint(labels)  # no-op for the initial persisted plan
         labels = new_labels
         if new_sig == cur_sig:
             break
