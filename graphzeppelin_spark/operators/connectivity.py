@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from graphzeppelin_spark.functions.edges import vertices_of
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, broadcast_min: bool = False) -> DataFrame:
     adj = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -42,6 +42,10 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .agg(F.min("dst").alias("mn"))
         .select(F.col("src").alias("u"), F.least("mn", "src").alias("m"))
     )
+    if broadcast_min:
+        # one ≤16-byte row per live vertex: broadcasting the min-map makes
+        # the adj join map-side, halving the exchanges per half-round
+        m = F.broadcast(m)
     return (
         adj.join(m, adj.src == m.u)
         .where(F.col("dst") > F.col("src"))
@@ -54,7 +58,7 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, broadcast_min: bool = False) -> DataFrame:
     adj = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -62,6 +66,8 @@ def _small_star(edges: DataFrame) -> DataFrame:
         adj.select("src", F.col("src").alias("dst")).distinct()
     )
     m = small.groupBy(F.col("src").alias("u")).agg(F.min("dst").alias("m"))
+    if broadcast_min:
+        m = F.broadcast(m)
     return (
         small.join(m, small.src == m.u)
         .where(F.col("dst") != F.col("m"))
@@ -88,7 +94,6 @@ def connected_components_df(
     verts = vertices if vertices is not None else vertices_of(edges)
     cur = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).distinct()
     cur = cur.localCheckpoint(eager=True) if checkpoint_each_round else cur.persist()
-
     def _stats(df: DataFrame) -> tuple[int, int]:
         # one aggregate job: (row count, order-insensitive content hash) —
         # equal stats <=> equal edge set whp; replaces a count + exceptAll join
@@ -99,22 +104,36 @@ def connected_components_df(
         return int(r["c"]), int(r["h"] or 0)
 
     cur_stats = _stats(cur)
+    # the per-star min-map is one skinny row per live vertex and shrinks
+    # every round; broadcasting it makes the adj join map-side, halving the
+    # exchanges per half-round. Size-gated BOTH ways (the pagerank lesson):
+    # worth it only when adj is big enough that its shuffle dominates the
+    # per-half-round broadcast construction (≥1M edges), and possible only
+    # while the vertex set fits a broadcast (≤16M)
+    broadcast_min = cur_stats[0] >= 1_000_000 and verts.count() <= 16_000_000
     for it in range(max_iters):
         # pairs_per_check > 1 trades convergence checks for deeper lineage
         # per materialization; measured SLOWER on this setup (7.5s vs 30s at
         # sf0.1 with 2 pairs — the un-checkpointed intermediate star pass
         # costs more than the check it saves), so the default stays 1
-        stepped = _small_star(_large_star(cur))
+        stepped = _small_star(_large_star(cur, broadcast_min), broadcast_min)
         if it > 0:
             for _ in range(pairs_per_check - 1):
-                stepped = _small_star(_large_star(stepped))
+                stepped = _small_star(_large_star(stepped, broadcast_min), broadcast_min)
         stepped = (
             stepped.localCheckpoint(eager=True)
             if checkpoint_each_round
             else stepped.persist()
         )
         new_stats = _stats(stepped)
+        prev = cur
         cur = stepped
+        if checkpoint_each_round:
+            from graphzeppelin_spark.session import free_local_checkpoint
+
+            free_local_checkpoint(prev)  # superseded round checkpoint
+        else:
+            prev.unpersist()
         if new_stats == cur_stats:
             break
         cur_stats = new_stats

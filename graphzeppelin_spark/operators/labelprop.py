@@ -35,17 +35,21 @@ def label_propagation_df(
     labels = verts.select(F.col("v").cast("long"), F.col("v").cast("long").alias("label"))
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # hash-partition the immutable edge table ONCE on the superstep join key
-    # (same discipline as pagerank_df): iterations exchange only the labels
-    edges_bi = bidirect(edges).repartition(n_part, "src").persist()
+    # size-gated plan shape, same discipline and same measured rationale as
+    # pagerank_df: big graphs partition the immutable edge table ONCE on the
+    # superstep join key and broadcast the skinny label tables (≤16M
+    # vertices); small graphs keep the plain AQE-coalesced shuffle plan
+    # (per-superstep broadcast construction costs more than it saves there)
+    big_edges = edges.count() * 2 >= 1_000_000
+    edges_bi = bidirect(edges)
+    if big_edges:
+        edges_bi = edges_bi.repartition(n_part, "src")
+    edges_bi = edges_bi.persist()
     edges_bi.count()
 
     labels = labels.persist()
     n_verts = labels.count()
-    # labels are 16-byte rows: broadcast them through the superstep joins up
-    # to ~16M vertices (map-side join, one skinny exchange per superstep);
-    # beyond that the co-partitioned shuffle plan takes over
-    broadcast_labels = n_verts <= 16_000_000
+    broadcast_labels = big_edges and n_verts <= 16_000_000
 
     def _sig(df: DataFrame) -> int:
         # order-insensitive content hash in one job (fixpoint detection)

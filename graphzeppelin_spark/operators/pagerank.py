@@ -47,15 +47,21 @@ def pagerank_df(
         F.col("v").cast("long")
     )
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # hash-partition the big immutable table ONCE on its per-iteration join
-    # key: every iteration's contribution join then reuses this partitioning
-    # and exchanges only the (small) ranks side — without it the full edge
-    # table reshuffles every superstep, the dominant cost at scale
-    directed_edges = (
-        (edges.select("src", "dst") if directed else bidirect(edges))
-        .repartition(n_part, "src")
-        .persist()
-    )
+    # plan shape is SIZE-GATED (both effects measured on this box):
+    # - big edge tables (≥1M directed rows): hash-partition ONCE on the
+    #   per-iteration join key so the edge table never reshuffles, and
+    #   broadcast the skinny ranks/contribs tables through the joins —
+    #   kron_17's 21M-directed-row graph went 57s → 29s for 8 iterations;
+    # - small graphs: per-iteration broadcast construction and fixed-width
+    #   partitioning COST more than the AQE-coalesced tiny shuffles they
+    #   replace (sf0.1 chain regressed 6s → 21s before this gate), so the
+    #   plain shuffle plan stays.
+    m_directed = edges.count() * (1 if directed else 2)
+    big_edges = m_directed >= 1_000_000
+    base_edges = edges.select("src", "dst") if directed else bidirect(edges)
+    if big_edges:
+        base_edges = base_edges.repartition(n_part, "src")
+    directed_edges = base_edges.persist()
     n = verts.count()
 
     # order-independent edge-set fingerprint (count + summed hash), needed
@@ -78,15 +84,15 @@ def pagerank_df(
     outdeg = (
         deg_src.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("outdeg"))
     )
-    # one row per vertex: (v, outdeg or 0), partitioned on v so the
-    # per-iteration deg⋈contribs join is co-partitioned with the
+    # one row per vertex: (v, outdeg or 0); for big graphs, partitioned on v
+    # so the per-iteration deg⋈contribs join is co-partitioned with the
     # groupBy(v2) aggregation output (no exchange on either side)
-    deg = (
-        verts.join(outdeg, "v", "left")
-        .select("v", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
-        .repartition(n_part, "v")
-        .persist()
+    deg = verts.join(outdeg, "v", "left").select(
+        "v", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
     )
+    if big_edges:
+        deg = deg.repartition(n_part, "v")
+    deg = deg.persist()
     deg.count()
 
     store = None
@@ -130,8 +136,9 @@ def pagerank_df(
     # shuffle, contribs broadcast back into deg). Beyond that, the
     # co-partitioned plan (edges and deg pre-hashed on their join keys,
     # exchange only the ranks/contribs sides) takes over — the web-scale
-    # shape, since the edge table never reshuffles either way.
-    broadcast_ranks = n <= 16_000_000
+    # shape, since the edge table never reshuffles either way. Only active
+    # for big edge tables (see the size gate above).
+    broadcast_ranks = big_edges and n <= 16_000_000
     for _it in range(start_iter, iters):
         r = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (
