@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "triangle_count_circulant",
     "pagerank_chain",
+    "labelprop_chain",
     "cc_chain",
     "cc_sketch_chain",
 ]

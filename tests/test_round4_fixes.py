@@ -361,3 +361,26 @@ def test_live_pages_resume_from_state_snapshot(spark, tmp_path):
         want.setdefault(uf.find(v), set()).add(url_for_vertex(v))
     assert {frozenset(g) for g in got.values()} == {frozenset(g) for g in want.values()}
     assert live2.pending.count() == 0
+
+
+def test_streaming_dedup_restart_continuity(spark, tmp_path):
+    """StreamingDedup keeps NO in-memory state, so a fresh instance over the
+    same table/checkpoint dirs continues exactly: committed offsets skip
+    wave 1, the survivor table supplies the cross-restart seen-set."""
+    from graphzeppelin_spark.streaming.windows import StreamingDedup
+
+    src = str(tmp_path / "src")
+    kw = dict(table_dir=str(tmp_path / "seen"), stream_checkpoint_dir=str(tmp_path / "ck"))
+    dd1 = StreamingDedup(spark, src, **kw)
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["aaa", "bbb"]})
+    ).write.mode("append").parquet(src)
+    dd1.process_available()
+
+    dd2 = StreamingDedup(spark, src, **kw)  # simulated restart
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3, 4], "text": ["aaa", "ccc"]})
+    ).write.mode("append").parquet(src)
+    dd2.process_available()
+    got = {r["doc_id"] for r in dd2.survivors().collect()}
+    assert got == {1, 2, 4}  # doc 3 deduped against the pre-restart table
