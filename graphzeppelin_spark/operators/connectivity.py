@@ -109,8 +109,9 @@ def connected_components_df(
     # exchanges per half-round. Size-gated BOTH ways (the pagerank lesson):
     # worth it only when adj is big enough that its shuffle dominates the
     # per-half-round broadcast construction (≥1M edges), and possible only
-    # while the vertex set fits a broadcast (≤16M)
-    broadcast_min = cur_stats[0] >= 1_000_000 and verts.count() <= 16_000_000
+    # while the vertex set safely fits a broadcast (≤4M rows — conservative,
+    # validated well below the ceiling; see pagerank_df's gate rationale)
+    broadcast_min = cur_stats[0] >= 1_000_000 and verts.count() <= 4_000_000
     for it in range(max_iters):
         # pairs_per_check > 1 trades convergence checks for deeper lineage
         # per materialization; measured SLOWER on this setup (7.5s vs 30s at

@@ -37,7 +37,7 @@ def label_propagation_df(
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # size-gated plan shape, same discipline and same measured rationale as
     # pagerank_df: big graphs partition the immutable edge table ONCE on the
-    # superstep join key and broadcast the skinny label tables (≤16M
+    # superstep join key and broadcast the skinny label tables (≤4M
     # vertices); small graphs keep the plain AQE-coalesced shuffle plan
     # (per-superstep broadcast construction costs more than it saves there)
     big_edges = edges.count() * 2 >= 1_000_000
@@ -49,7 +49,7 @@ def label_propagation_df(
 
     labels = labels.persist()
     n_verts = labels.count()
-    broadcast_labels = big_edges and n_verts <= 16_000_000
+    broadcast_labels = big_edges and n_verts <= 4_000_000  # conservative broadcast-fit ceiling, see pagerank_df
 
     def _sig(df: DataFrame) -> int:
         # order-insensitive content hash in one job (fixpoint detection)

@@ -130,15 +130,18 @@ def pagerank_df(
         ranks = deg.select("v", F.lit(1.0 / n).alias("score"), "outdeg").persist()
     # one-time: if no vertex is dangling, skip the per-iteration mass collect
     has_dangling = deg.where(F.col("outdeg") == 0).limit(1).count() > 0
-    # ranks is one 16-byte row per vertex: up to ~16M vertices it broadcasts
-    # in a few hundred MB and the whole iteration collapses to ONE skinny
+    # ranks is one 16-byte row per vertex: while it broadcasts comfortably
+    # (ceiling 4M rows ≈ 64MB data, a few hundred MB as a built hash
+    # relation — safely inside default driver.maxResultSize/memory; the gate
+    # is deliberately conservative since it was validated at 131k vertices,
+    # not at the ceiling) the whole iteration collapses to ONE skinny
     # exchange (map-side join with edges + partial-agg before the groupBy
     # shuffle, contribs broadcast back into deg). Beyond that, the
     # co-partitioned plan (edges and deg pre-hashed on their join keys,
     # exchange only the ranks/contribs sides) takes over — the web-scale
     # shape, since the edge table never reshuffles either way. Only active
     # for big edge tables (see the size gate above).
-    broadcast_ranks = big_edges and n <= 16_000_000
+    broadcast_ranks = big_edges and n <= 4_000_000
     for _it in range(start_iter, iters):
         r = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (

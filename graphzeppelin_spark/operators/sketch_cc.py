@@ -150,11 +150,7 @@ class SketchCC:
         before any Python runs.
         """
         n = self.num_vertices
-        canon = stream.select(
-            F.least("src", "dst").alias("lo"),
-            F.greatest("src", "dst").alias("hi"),
-            F.when(F.col("type") == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
-        ).where(F.col("lo") != F.col("hi"))
+        canon = self._canonical_updates(stream)
         eid = (F.col("lo") * F.lit(n) + F.col("hi")).alias("eid")
         both = canon.select(F.col("lo").alias("vertex"), eid, "sign").unionAll(
             canon.select(
@@ -162,17 +158,34 @@ class SketchCC:
             )
         )
         net = both.groupBy("vertex", "eid").agg(F.sum("sign").alias("net"))
-        return net.where(
-            F.when(
-                F.abs("net") > 1,
-                F.raise_error(
-                    F.concat(
-                        F.lit("malformed stream: non-alternating updates for eid "),
-                        F.col("eid").cast("string"),
-                    )
-                ).cast("boolean"),
-            ).otherwise(F.col("net") != 0)
-        )
+        return net.where(self._net_guard())
+
+    @staticmethod
+    def _canonical_updates(stream: DataFrame) -> DataFrame:
+        """(lo, hi, sign) canonical undirected updates — the single shared
+        definition of edge canonicalization and the insert/delete sign
+        convention (any change here reaches both the semantic/oracle view
+        and the ingest hot path)."""
+        return stream.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+            F.when(F.col("type") == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+        ).where(F.col("lo") != F.col("hi"))
+
+    @staticmethod
+    def _net_guard():
+        """Keep net != 0 rows; raise on |net| > 1 (non-alternating stream) —
+        the single shared definition of the stream-contract guard. Expects
+        columns `net` and `eid` in scope."""
+        return F.when(
+            F.abs("net") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("malformed stream: non-alternating updates for eid "),
+                    F.col("eid").cast("string"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.col("net") != 0)
 
     def packed_updates(self, stream: DataFrame) -> DataFrame:
         """(vertex, seid) net updates, hash-partitioned by vertex — the build
@@ -192,11 +205,7 @@ class SketchCC:
         small multiple of net, and the per-partition aggregation is
         vectorized JVM code either way."""
         n = self.num_vertices
-        canon = stream.select(
-            F.least("src", "dst").alias("lo"),
-            F.greatest("src", "dst").alias("hi"),
-            F.when(F.col("type") == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
-        ).where(F.col("lo") != F.col("hi"))
+        canon = self._canonical_updates(stream)
         seid = (F.col("sign") * (F.col("lo") * F.lit(n) + F.col("hi"))).alias("seid")
         nseid = (-F.col("sign") * (F.col("lo") * F.lit(n) + F.col("hi"))).alias("seid")
         both = canon.select(F.col("lo").alias("vertex"), seid).unionAll(
@@ -206,17 +215,7 @@ class SketchCC:
         net = part.groupBy("vertex", F.abs("seid").alias("eid")).agg(
             F.sum(F.when(F.col("seid") > 0, F.lit(1)).otherwise(F.lit(-1))).alias("net")
         )
-        guarded = net.where(
-            F.when(
-                F.abs("net") > 1,
-                F.raise_error(
-                    F.concat(
-                        F.lit("malformed stream: non-alternating updates for eid "),
-                        F.col("eid").cast("string"),
-                    )
-                ).cast("boolean"),
-            ).otherwise(F.col("net") != 0)
-        )
+        guarded = net.where(self._net_guard())
         return guarded.select("vertex", (F.col("net") * F.col("eid")).alias("seid"))
 
     def build_state(self, stream: DataFrame) -> DataFrame:

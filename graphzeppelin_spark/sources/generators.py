@@ -308,7 +308,7 @@ def kron_stream_distributed(
     differs from kron_stream (different rng consumption order); both are
     the same RMAT distribution.
 
-    Returns (stream_df, n_updates)."""
+    Returns the stream DataFrame (seq, type, src, dst)."""
     import pandas as pd
     from pyspark.sql import functions as F
 

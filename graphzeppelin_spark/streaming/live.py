@@ -24,15 +24,18 @@ from graphzeppelin_spark.sources.stream import STREAM_SCHEMA
 from graphzeppelin_spark.streaming.checkpoint import CheckpointStore
 
 
-def _has_committed_offsets(stream_checkpoint_dir: str) -> bool:
-    """True if a Structured Streaming checkpoint at this path has already
-    committed source offsets — a fresh instance resuming it would silently
-    skip every previously-ingested file."""
+def _has_committed_batches(stream_checkpoint_dir: str) -> bool:
+    """True if a Structured Streaming checkpoint at this path has COMPLETED
+    at least one batch (commits/ entry) — only completed batches are skipped
+    on restart, so only they make a fresh instance's empty state unsafe.
+    (offsets/N is written BEFORE a batch processes; a crash mid-first-batch
+    leaves offsets/0 with no commit, and that checkpoint is safe to resume
+    from scratch — the engine will replay batch 0.)"""
     import os
 
-    off = os.path.join(stream_checkpoint_dir, "offsets")
-    return os.path.isdir(off) and any(
-        not f.startswith(".") for f in os.listdir(off)
+    commits = os.path.join(stream_checkpoint_dir, "commits")
+    return os.path.isdir(commits) and any(
+        not f.startswith(".") for f in os.listdir(commits)
     )
 
 
@@ -64,11 +67,12 @@ class LiveGraphStream:
         self._stream_ckpt = stream_checkpoint_dir
         self._seed = seed
         self._variant = variant
-        # a stream checkpoint with committed offsets means previously-ingested
+        # a stream checkpoint with completed batches means previously-ingested
         # files will be SKIPPED on restart; a fresh instance must therefore
-        # restore the state that matched those offsets, or refuse to start —
+        # restore the state that matched those batches, or refuse to start —
         # resuming with empty state would silently drop every pre-restart edge
-        if _has_committed_offsets(stream_checkpoint_dir):
+        self._committed_through = -1  # highest batch id folded INTO self.state
+        if _has_committed_batches(stream_checkpoint_dir):
             if self.store is None or self.store.latest_id() is None:
                 raise ValueError(
                     f"stream checkpoint {stream_checkpoint_dir!r} already has "
@@ -77,10 +81,33 @@ class LiveGraphStream:
                     "previous run, or start with a fresh stream checkpoint dir"
                 )
             state, meta = self.store.read()
+            # the snapshot must belong to THIS sketch family — merging deltas
+            # hashed under a different seed/variant/universe into it would
+            # silently corrupt every later answer
+            for key, want in (
+                ("seed", seed),
+                ("variant", variant),
+                ("num_vertices", num_vertices),
+            ):
+                if meta.get(key) != want:
+                    raise ValueError(
+                        f"state snapshot {key}={meta.get(key)!r} does not match "
+                        f"this instance's {key}={want!r}; construct the stream "
+                        "with the previous run's parameters (or use fresh dirs)"
+                    )
             self.state = state.persist()
-            self.batches_seen = int(meta.get("stream_batch_id", -1)) + 1
+            self._committed_through = int(meta.get("stream_batch_id", -1))
+            self.batches_seen = self._committed_through + 1
 
     def _fold_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # replay guard: foreachBatch is at-least-once. If the previous run
+        # crashed AFTER our state snapshot committed but BEFORE Structured
+        # Streaming wrote commits/N, the engine re-delivers batch N on
+        # restart — folding it again would net every edge to +-2 in the
+        # signed-sum buckets (silent corruption). The snapshot's batch id is
+        # exactly the replay watermark.
+        if batch_id <= self._committed_through:
+            return
         if batch_df.isEmpty():
             return
         delta = self.alg.build_state(batch_df)
@@ -103,6 +130,7 @@ class LiveGraphStream:
             self.state.unpersist()
             free_local_checkpoint(self.state)
         self.state = new_state.persist()
+        self._committed_through = int(batch_id)
         self.batches_seen += 1
 
     def process_available(self) -> None:
@@ -181,7 +209,10 @@ class LivePagesStream:
         self._source = spark.readStream.schema(PAGES_SCHEMA).parquet(source_dir)
         self._stream_ckpt = stream_checkpoint_dir
         self._state_ckpt = state_checkpoint_dir
-        if _has_committed_offsets(stream_checkpoint_dir):
+        self._seed = seed
+        self._variant = variant
+        self._committed_through = -1  # highest batch id folded into this state
+        if _has_committed_batches(stream_checkpoint_dir):
             snap = self._latest_snapshot()
             if snap is None:
                 raise ValueError(
@@ -236,6 +267,8 @@ class LivePagesStream:
                     "batches_seen": self.batches_seen,
                     "stream_batch_id": int(batch_id),
                     "capacity": self.capacity,
+                    "seed": self._seed,
+                    "variant": self._variant,
                 },
                 f,
             )
@@ -246,10 +279,17 @@ class LivePagesStream:
 
         with open(os.path.join(snap_dir, "metadata.json")) as f:
             meta = json.load(f)
-        if meta["capacity"] != self.capacity:
-            raise ValueError(
-                f"snapshot capacity {meta['capacity']} != requested {self.capacity}"
-            )
+        for key, want in (
+            ("capacity", self.capacity),
+            ("seed", self._seed),
+            ("variant", self._variant),
+        ):
+            if meta.get(key, want) != want:  # older snapshots lack seed/variant
+                raise ValueError(
+                    f"snapshot {key}={meta.get(key)!r} does not match this "
+                    f"instance's {key}={want!r}; construct the stream with the "
+                    "previous run's parameters (or use fresh dirs)"
+                )
         for name in self._TABLES:
             df = self.spark.read.parquet(os.path.join(snap_dir, name))
             setattr(self, name, None if df.isEmpty() else df)
@@ -257,12 +297,18 @@ class LivePagesStream:
             self.state = self.state.persist()
         self.next_vid = int(meta["next_vid"])
         self.batches_seen = int(meta["batches_seen"])
+        self._committed_through = int(meta.get("stream_batch_id", -1))
 
     def _fold_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
         from graphzeppelin_spark.sources.pages import extract_hrefs, url_dictionary
 
+        # replay guard (see LiveGraphStream._fold_batch): a re-delivered batch
+        # whose effects are already in the restored snapshot must not fold
+        # again — double-folding an edge DELETES it under toggle semantics
+        if batch_id <= self._committed_through:
+            return
         if batch_df.isEmpty():
             return
         # superseded checkpoints, freed once this batch's replacements have
@@ -325,6 +371,7 @@ class LivePagesStream:
             new_edges if self.inserted is None else self.inserted.unionAll(new_edges)
         ).localCheckpoint(eager=True)
         if new_edges.isEmpty():
+            self._committed_through = int(batch_id)
             self.batches_seen += 1
             if self._state_ckpt is not None:
                 self._commit_snapshot(batch_id)
@@ -344,6 +391,7 @@ class LivePagesStream:
             self.state.unpersist()
             superseded.append(self.state)
         self.state = new_state.persist()
+        self._committed_through = int(batch_id)
         self.batches_seen += 1
         if self._state_ckpt is not None:
             self._commit_snapshot(batch_id)

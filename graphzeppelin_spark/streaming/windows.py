@@ -163,6 +163,24 @@ class StreamingDedup:
         os.makedirs(source_dir, exist_ok=True)
         self._source = spark.readStream.schema(input_schema).parquet(source_dir)
         self._stream_ckpt = stream_checkpoint_dir
+        self._recover_compaction()
+
+    def _recover_compaction(self) -> None:
+        """Heal a crash mid-compaction: the swap is rename(table → .old) then
+        rename(.compacting → table). If the first rename landed but the
+        second didn't, the REAL survivor set is the .old directory — restore
+        it (losing it would make every previously-seen hash re-emit as a
+        survivor). Leftover .compacting/.old directories are then stale and
+        removed."""
+        import os
+        import shutil
+
+        old = self.table_dir.rstrip("/") + ".old"
+        tmp = self.table_dir.rstrip("/") + ".compacting"
+        if not os.path.isdir(self.table_dir) and os.path.isdir(old):
+            os.rename(old, self.table_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
 
     def _table_files(self) -> list[str]:
         import os

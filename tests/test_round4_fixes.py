@@ -384,3 +384,76 @@ def test_streaming_dedup_restart_continuity(spark, tmp_path):
     dd2.process_available()
     got = {r["doc_id"] for r in dd2.survivors().collect()}
     assert got == {1, 2, 4}  # doc 3 deduped against the pre-restart table
+
+
+def test_live_graph_replay_guard_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an already-folded batch
+    must NOT fold again — under toggle semantics a double-fold DELETES every
+    edge of the batch from the linear sketch state."""
+    from graphzeppelin_spark.sources.generators import dynamic_erdos_stream
+    from graphzeppelin_spark.streaming.live import LiveGraphStream
+
+    n = 64
+    s = dynamic_erdos_stream(num_vertices=n, density=0.05, rounds=1, seed=17)
+    src_dir = str(tmp_path / "in")
+    live = LiveGraphStream(
+        spark,
+        src_dir,
+        num_vertices=n,
+        stream_checkpoint_dir=str(tmp_path / "sck"),
+        state_checkpoint_dir=str(tmp_path / "state"),
+        seed=3,
+    )
+    stream_df(spark, s).write.mode("append").parquet(src_dir)
+    live.process_available()
+    before = live.connected_components()
+    # simulate the engine re-delivering batch 0 after a crash-before-commit
+    live._fold_batch(spark.read.parquet(src_dir), 0)
+    np.testing.assert_array_equal(live.connected_components(), before)
+
+
+def test_live_graph_restore_rejects_wrong_seed(spark, tmp_path):
+    from graphzeppelin_spark.sources.generators import dynamic_erdos_stream
+    from graphzeppelin_spark.streaming.live import LiveGraphStream
+
+    n = 32
+    s = dynamic_erdos_stream(num_vertices=n, density=0.05, rounds=1, seed=29)
+    src_dir = str(tmp_path / "in")
+    kw = dict(
+        num_vertices=n,
+        stream_checkpoint_dir=str(tmp_path / "sck"),
+        state_checkpoint_dir=str(tmp_path / "state"),
+    )
+    live = LiveGraphStream(spark, src_dir, seed=3, **kw)
+    stream_df(spark, s).write.mode("append").parquet(src_dir)
+    live.process_available()
+    # restoring under a different sketch seed would merge incompatible
+    # hash families — must refuse loudly, not corrupt silently
+    with pytest.raises(ValueError, match="seed"):
+        LiveGraphStream(spark, src_dir, seed=99, **kw)
+
+
+def test_streaming_dedup_compaction_crash_recovery(spark, tmp_path):
+    """A crash between the two compaction renames leaves the survivor set in
+    the .old directory; a fresh instance must restore it, not start empty."""
+    import os
+
+    from graphzeppelin_spark.streaming.windows import StreamingDedup
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "seen")
+    kw = dict(table_dir=table, stream_checkpoint_dir=str(tmp_path / "ck"))
+    dd = StreamingDedup(spark, src, **kw)
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["aaa", "bbb"]})
+    ).write.mode("append").parquet(src)
+    dd.process_available()
+    # simulate the torn state: table renamed away, replacement never landed
+    os.rename(table, table + ".old")
+    dd2 = StreamingDedup(spark, src, **kw)
+    assert dd2.survivors().count() == 2  # recovered from .old
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3], "text": ["aaa"]})
+    ).write.mode("append").parquet(src)
+    dd2.process_available()
+    assert {r["doc_id"] for r in dd2.survivors().collect()} == {1, 2}
