@@ -123,6 +123,10 @@ def main() -> None:
           file=sys.stderr)
 
     # ---- distributed-labels CC (the 10^9 path at 10x) -------------------
+    # same discipline as bench.py's kron blocks: the prior phases' tenured
+    # garbage taxes shuffle-heavy queries by multiple x (measured 370s here
+    # vs 58-99s in a fresh session before this GC was added)
+    spark.sparkContext._jvm.System.gc()
     t0 = time.time()
     dcc = alg.connected_components_distributed(state)
     out["distributed_cc_nonisolated_components"] = int(
