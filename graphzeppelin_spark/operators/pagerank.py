@@ -29,6 +29,7 @@ def pagerank_df(
     num_iters: int | None = None,
     directed: bool = False,
     checkpoint_dir: str | None = None,
+    broadcast_max_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Return (v:long, score:double). Undirected edges contribute both ways.
 
@@ -123,25 +124,40 @@ def pagerank_df(
                         f"requested {iters} iterations; use a fresh checkpoint_dir "
                         "or request more iterations"
                     )
+                # ranks is the per-iteration join spine: re-establish the
+                # v-partitioning the in-loop checkpoints would carry
+                if big_edges:
+                    snap = snap.repartition(n_part, "v")
                 ranks = snap.persist()
                 start_iter = int(meta["iteration"])
 
     if ranks is None:
         ranks = deg.select("v", F.lit(1.0 / n).alias("score"), "outdeg").persist()
-    # one-time: if no vertex is dangling, skip the per-iteration mass collect
-    has_dangling = deg.where(F.col("outdeg") == 0).limit(1).count() > 0
-    # ranks is one 16-byte row per vertex: while it broadcasts comfortably
-    # (ceiling 4M rows ≈ 64MB data, a few hundred MB as a built hash
-    # relation — safely inside default driver.maxResultSize/memory; the gate
-    # is deliberately conservative since it was validated at 131k vertices,
-    # not at the ceiling) the whole iteration collapses to ONE skinny
-    # exchange (map-side join with edges + partial-agg before the groupBy
-    # shuffle, contribs broadcast back into deg). Beyond that, the
-    # co-partitioned plan (edges and deg pre-hashed on their join keys,
-    # exchange only the ranks/contribs sides) takes over — the web-scale
-    # shape, since the edge table never reshuffles either way. Only active
-    # for big edge tables (see the size gate above).
-    broadcast_ranks = big_edges and n <= 4_000_000
+        # uniform start: dangling mass is exactly n_dangling/n — countable
+        # once, no per-iteration scan
+        n_dangling = deg.where(F.col("outdeg") == 0).count()
+        has_dangling = n_dangling > 0
+        dangling = n_dangling / n
+    else:  # resumed: one collect to recover the snapshot's dangling mass
+        has_dangling = deg.where(F.col("outdeg") == 0).limit(1).count() > 0
+        dangling = (
+            (ranks.where(F.col("outdeg") == 0).agg(F.sum("score")).collect()[0][0] or 0.0)
+            if has_dangling
+            else 0.0
+        )
+    # ranks is one 24-byte row per vertex: while the estimated broadcast
+    # payload fits (byte gate, default 64MB data ≈ 2.6M rows — a few hundred
+    # MB as a built hash relation, inside default driver configs; row-count
+    # gates undercount wide relations, so the gate is on bytes) the whole
+    # iteration collapses to ONE skinny exchange (map-side join with edges +
+    # partial-agg before the groupBy shuffle, contribs broadcast back into
+    # ranks). Beyond that, the co-partitioned plan (edges and ranks
+    # pre-hashed on their join keys, exchange only the contribs side) takes
+    # over — the web-scale shape, since the edge table never reshuffles
+    # either way. Only active for big edge tables (see the size gate above).
+    broadcast_ranks = big_edges and n * 24 <= broadcast_max_bytes
+    from pyspark.sql import Observation
+
     for _it in range(start_iter, iters):
         r = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (
@@ -153,35 +169,44 @@ def pagerank_df(
             .groupBy("v2")
             .agg(F.sum("contrib").alias("incoming"))
         )
-        dangling = (
-            (ranks.where(F.col("outdeg") == 0).agg(F.sum("score")).collect()[0][0] or 0.0)
-            if has_dangling
-            else 0.0
-        )
         c = F.broadcast(contribs) if broadcast_ranks else contribs
-        new_ranks = (
-            deg.join(c, deg.v == c.v2, "left")
-            .select(
-                deg.v,
-                (
-                    F.lit((1 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce("incoming", F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("score"),
-                deg.outdeg,
-            )
-            .localCheckpoint(eager=True)
+        # ONE action per iteration: the eager localCheckpoint materializes
+        # the new ranks AND (via observe(), fired on that same job) yields
+        # max|Δ| for the convergence test plus the new dangling mass for the
+        # NEXT iteration — the old separate delta join-collect and dangling
+        # scan actions are fused away (measured: they were ~half the
+        # per-iteration actions at kron_19)
+        new_core = ranks.join(c, ranks.v == c.v2, "left").select(
+            ranks.v,
+            (
+                F.lit((1 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce("incoming", F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("score"),
+            ranks.outdeg,
+            F.col("score").alias("_old"),
         )
+        metrics = []
         if num_iters is None:
-            old = ranks.alias("o")
-            if broadcast_ranks:
-                old = F.broadcast(old)
-            delta = (
-                new_ranks.alias("n")
-                .join(old, F.col("n.v") == F.col("o.v"))
-                .agg(F.max(F.abs(F.col("n.score") - F.col("o.score"))).alias("d"))
-                .collect()[0][0]
+            metrics.append(
+                F.max(F.abs(F.col("score") - F.col("_old"))).alias("d")
             )
+        if has_dangling:
+            metrics.append(
+                F.sum(
+                    F.when(F.col("outdeg") == 0, F.col("score")).otherwise(0.0)
+                ).alias("dmass")
+            )
+        if metrics:
+            it_obs = Observation()
+            new_core = new_core.observe(it_obs, *metrics)
+        new_ranks = new_core.drop("_old").localCheckpoint(eager=True)
+        if metrics:
+            fired = it_obs.get
+            if num_iters is None:
+                delta = fired["d"]
+            if has_dangling:
+                dangling = fired["dmass"] or 0.0
         ranks.unpersist()
         if _it > start_iter:  # superseded per-iteration localCheckpoint
             from graphzeppelin_spark.session import free_local_checkpoint

@@ -75,7 +75,11 @@ class CheckpointStore:
                 "snapshot_id": snap_id,
                 "committed_at": time.time(),
                 "partitions": part_metrics,
-                "total_rows": sum(p["rows"] for p in part_metrics),
+                # [] = footer listing unavailable (see _footer_metrics);
+                # None distinguishes "unknown" from a genuinely empty state
+                "total_rows": (
+                    sum(p["rows"] for p in part_metrics) if part_metrics else None
+                ),
             }
         )
         with open(os.path.join(d, "metadata.json"), "w") as f:
@@ -85,15 +89,30 @@ class CheckpointStore:
     @staticmethod
     def _footer_metrics(data_path: str) -> list[dict[str, int]]:
         """Per-partition row counts from parquet footers (no Spark job).
-        Partition index = the task id embedded in the part file name."""
+        Partition index = the task id embedded in the part file name.
+
+        Assumes a local filesystem, the default 'part-NNNNN-…' committer
+        naming, and one file per write task; EMPTY partitions write no file,
+        so they appear with rows=0 only implicitly (absent from the list).
+        On any listing/parse failure (non-local checkpoint dir, custom
+        committer) returns [] — commit() then records totals-only metrics
+        rather than failing the snapshot. A real Iceberg deployment gets
+        these counts from the commit manifest instead (see module header)."""
         import pyarrow.parquet as pq
 
         metrics = []
-        for fn in sorted(os.listdir(data_path)):
+        try:
+            names = sorted(os.listdir(data_path))
+        except OSError:
+            return []
+        for fn in names:
             if not fn.startswith("part-") or not fn.endswith(".parquet"):
                 continue
-            idx = int(fn.split("-")[1])
-            rows = pq.ParquetFile(os.path.join(data_path, fn)).metadata.num_rows
+            try:
+                idx = int(fn.split("-")[1])
+                rows = pq.ParquetFile(os.path.join(data_path, fn)).metadata.num_rows
+            except (ValueError, IndexError, OSError):
+                return []  # unrecognized naming/layout: totals-only fallback
             metrics.append({"partition": idx, "rows": int(rows)})
         return metrics
 

@@ -66,9 +66,14 @@ class GraphStreamDriver:
         self.eager = eager
         self.eager_batch_limit = eager_batch_limit
         self._dsu: NumpyDSU | None = NumpyDSU(num_vertices) if eager else None
-        self._forest: set[tuple[int, int]] = set()
+        # spanning-forest membership, packed as a SORTED int64 array of
+        # lo*n+hi codes (lo<hi): ~8B/edge vs ~100B+/edge for a Python set of
+        # tuples — at the driver-DSU ceiling (~10^8-vertex graphs) the
+        # difference is tens of GB of driver heap. Probes are vectorized
+        # binary searches (_forest_contains); codes fit int64 for
+        # n < 3*10^9, far beyond this path's own regime.
+        self._forest: np.ndarray = np.empty(0, dtype=np.int64)
         self._dsu_valid = eager
-        self._forest_rows: list[tuple[int, int]] = []
         # track_insertions analog (reference tools/process_stream.cpp:27-61):
         # per-batch ingest metrics, also embedded in checkpoint metadata
         self.metrics: list[dict] = []
@@ -166,22 +171,20 @@ class GraphStreamDriver:
         lo = rows["lo"].to_numpy(np.int64)
         hi = rows["hi"].to_numpy(np.int64)
         del_mask = types != 0
+        n = self.num_vertices
         if del_mask.any():
             # sequential-order reasoning without sequential replay: forest
             # edges never leave the forest except via invalidation, so a
             # delete invalidates iff its edge is in the PRE-batch forest or
             # was inserted (and unioned) earlier in this same batch. The
-            # first case is a set probe; the second is only possible when a
-            # delete's edge also appears as an insert in this batch — rare,
-            # and the one case that genuinely needs ordered replay.
-            if any(
-                (int(s), int(d)) in self._forest
-                for s, d in zip(lo[del_mask].tolist(), hi[del_mask].tolist())
-            ):
+            # first case is a vectorized binary-search probe; the second is
+            # only possible when a delete's edge also appears as an insert
+            # in this batch — rare, and the one case that genuinely needs
+            # ordered replay.
+            del_codes = lo[del_mask] * n + hi[del_mask]
+            if self._forest_contains(del_codes).any():
                 self._dsu_valid = False
                 return
-            n = self.num_vertices
-            del_codes = lo[del_mask] * n + hi[del_mask]
             ins_codes = lo[~del_mask] * n + hi[~del_mask]
             if np.isin(del_codes, ins_codes).any():
                 self._eager_replay_ordered(rows)
@@ -191,9 +194,18 @@ class GraphStreamDriver:
         # no per-row Python loop on the ingest critical path
         applied = self._dsu.union_edges_bulk(lo, hi)
         if applied.any():
-            self._forest.update(
-                zip(lo[applied].tolist(), hi[applied].tolist())
-            )
+            self._forest_add(lo[applied] * n + hi[applied])
+
+    def _forest_contains(self, codes: np.ndarray) -> np.ndarray:
+        """Vectorized membership mask against the sorted packed forest."""
+        if len(self._forest) == 0:
+            return np.zeros(len(codes), dtype=bool)
+        idx = np.searchsorted(self._forest, codes)
+        idx[idx == len(self._forest)] = 0  # clip; compare will reject
+        return self._forest[idx] == codes
+
+    def _forest_add(self, codes: np.ndarray) -> None:
+        self._forest = np.union1d(self._forest, codes)
 
     def _eager_replay_ordered(self, rows) -> None:
         """Scalar stream-order replay — only for the rare batch where a
@@ -203,17 +215,27 @@ class GraphStreamDriver:
         types = rows["type"].to_numpy()
         lo = rows["lo"].to_numpy(np.int64)
         hi = rows["hi"].to_numpy(np.int64)
-        for s, d, t in zip(lo.tolist(), hi.tolist(), types.tolist()):
+        n = self.num_vertices
+        codes = lo * n + hi
+        # batch-local adds buffered in a small set (bounded by batch size);
+        # merged into the packed array once at the end — per-row probes are
+        # one binary search + one set probe
+        pending: set[int] = set()
+        for s, d, c, t in zip(lo.tolist(), hi.tolist(), codes.tolist(), types.tolist()):
             if t == 0:
                 ra, rb = self._dsu.find(s), self._dsu.find(d)
                 if ra != rb:
                     lo_r, hi_r = (ra, rb) if ra < rb else (rb, ra)
                     self._dsu.parent[hi_r] = lo_r
-                    self._forest.add((s, d))
+                    pending.add(c)
             else:
-                if (s, d) in self._forest:
+                if c in pending or self._forest_contains(
+                    np.array([c], dtype=np.int64)
+                ).any():
                     self._dsu_valid = False
                     return
+        if pending:
+            self._forest_add(np.fromiter(pending, dtype=np.int64, count=len(pending)))
 
     # ------------------------------------------------- query-during-ingest
 
@@ -303,9 +325,12 @@ class GraphStreamDriver:
         if self.eager:
             self._dsu = NumpyDSU(self.num_vertices)
             self._dsu.parent = labels.copy()
-            self._forest = {
-                (int(min(s, d)), int(max(s, d))) for s, d in forest
-            }
+            if len(forest):
+                flo = np.minimum(forest[:, 0], forest[:, 1])
+                fhi = np.maximum(forest[:, 0], forest[:, 1])
+                self._forest = np.sort(flo * self.num_vertices + fhi)
+            else:
+                self._forest = np.empty(0, dtype=np.int64)
             self._dsu_valid = True
         self._last_forest = forest
         return labels

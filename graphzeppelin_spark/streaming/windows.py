@@ -66,7 +66,12 @@ _DEDUP_OUT = T.StructType(
     ]
 )
 # packed sorted 16-byte digests, one blob per group: ~16B per seen hash vs
-# ~70B+ for an array of 32-char hex strings
+# ~70B+ for an array of 32-char hex strings.
+# STATE-SCHEMA BREAK (round 4): this was array<string> of hex digests before
+# the binary packing; a query restarted from a stream checkpoint written
+# under the old schema will fail/misparse its state rows. Restarting this
+# operator across the upgrade requires a NEW streaming checkpoint dir (and a
+# replay, or seeding StreamingDedup's survivor table from the old output).
 _DEDUP_STATE = T.StructType([T.StructField("seen", T.BinaryType(), True)])
 
 
