@@ -39,3 +39,7 @@ class DriverConfig:
     driver_finish_bytes: int = 256 * 1024 * 1024
     checkpoint_dir: str | None = None
     eager: bool = True
+    # cross-batch stream-contract validation (live-edge parity side-table,
+    # one extra O(live edges) join+checkpoint per batch); the reference has
+    # no analog — it trusts the producer. See streaming/driver.py.
+    validate_stream: bool = False

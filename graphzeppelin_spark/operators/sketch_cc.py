@@ -300,8 +300,18 @@ class SketchCC:
         budget = g.num_samples if max_rounds is None else min(max_rounds, g.num_samples)
         dsu = NumpyDSU(n)
         forest: list[tuple[int, int]] = []
-        state = state.persist()
-        state.count()
+        # persist only if the CALLER hasn't: persist() on an already-cached
+        # plan is a no-op, so unconditionally unpersisting at the end would
+        # silently drop the caller's cache — every later query on that state
+        # then re-runs the whole sketch build (measured at kron_19: back-to-
+        # back boruvka calls went 30s → 140s, ~7x python-worker CPU; this
+        # WAS the bulk of the "late-session tax" on repeated CC queries)
+        from pyspark import StorageLevel
+
+        owns_cache = state.storageLevel == StorageLevel.NONE
+        if owns_cache:
+            state = state.persist()
+            state.count()
 
         def _apply_edges(lo: np.ndarray, hi: np.ndarray) -> int:
             merged = 0
@@ -350,7 +360,8 @@ class SketchCC:
             if _apply_edges(lo[valid], hi[valid]) == 0:
                 break
             rnd += 1
-        state.unpersist()
+        if owns_cache:
+            state.unpersist()
         fa = np.array(forest, dtype=np.int64).reshape(-1, 2)
         return dsu.labels(), fa
 
@@ -675,7 +686,31 @@ class SketchCC:
 
         Vertices with no updates in the stream never appear in `state`; they
         are isolated singletons and are implicitly their own component.
-        Returns labels for state vertices only."""
+        Returns labels for state vertices only.
+
+        Budget accounting (k = groups_per_round): the sketch budget
+        (num_samples ≈ 1.71·log2(n)·samples_factor) is derived for ONE fresh
+        group per classic Boruvka round; consuming k per round cuts the
+        worst-case round count to ceil(budget/k). Multi-edge contraction
+        usually compensates (a k-edge component multigraph collapses whole
+        merge chains per round), but it is not guaranteed to, so this path
+        is ADAPTIVE: after each round it reads an approximate active-
+        component count off the labels checkpoint's own materialization
+        (observe(), no extra job) and drops k toward 1 whenever the
+        remaining budget could not finish single-group rounds for the
+        components still active (remaining − k < ceil(log2(active))). If
+        the budget still exhausts with merges in progress, a RuntimeWarning
+        is raised and `last_distributed_stats['exhausted']` is set — the
+        labeling is then possibly partial (components under-merged, never
+        wrongly merged) and the caller should raise samples_factor.
+
+        Per-round timings/counts are recorded in `last_distributed_stats`."""
+        import math
+        import time as _time
+        import warnings
+
+        from pyspark.sql import Observation
+
         from graphzeppelin_spark.operators.connectivity import connected_components_df
         from graphzeppelin_spark.session import free_local_checkpoint
 
@@ -688,8 +723,20 @@ class SketchCC:
         ).localCheckpoint(eager=True)
         prev_samples: DataFrame | None = None
         gidx = 0
+        active_est: int | None = None  # approx active components, post-round
+        stats: list[dict] = []
+        self.last_distributed_stats = {"rounds": stats, "exhausted": False}
+        last_round_merged = False
         while gidx < budget:
             k = min(k_default, budget - gidx)
+            if active_est is not None and active_est > 1:
+                # stretch the tail of the budget: keep k only if, assuming
+                # this round achieves no more than one classic halving, the
+                # leftover budget could still finish one group at a time
+                reserve = math.ceil(math.log2(active_est))
+                if budget - gidx - k < reserve:
+                    k = max(1, min(k, budget - gidx - reserve))
+            t_round = _time.time()
             first_round = gidx == 0
             if first_round:
                 # identity label map: every vertex is its own component, so
@@ -718,7 +765,7 @@ class SketchCC:
                 # identity labels: endpoints ARE the component ids
                 comp_edges = ends.select(
                     F.col("lo").alias("src"), F.col("hi").alias("dst")
-                ).localCheckpoint(eager=True)
+                )
             else:
                 lv = labels.select(F.col("vertex").alias("lo"), F.col("root").alias("ra"))
                 hv = labels.select(F.col("vertex").alias("hi"), F.col("root").alias("rb"))
@@ -730,12 +777,23 @@ class SketchCC:
                         F.least("ra", "rb").alias("src"), F.greatest("ra", "rb").alias("dst")
                     )
                     .distinct()
-                    .localCheckpoint(eager=True)
                 )
-            n_edges = comp_edges.count()  # cached — no recompute
+            # the edge count rides observe() on the checkpoint that
+            # materializes comp_edges anyway — no separate count job
+            ce_obs = Observation()
+            comp_edges = comp_edges.observe(
+                ce_obs, F.count(F.lit(1)).alias("m")
+            ).localCheckpoint(eager=True)
+            n_edges = int(ce_obs.get["m"])
             if n_edges == 0:
                 free_local_checkpoint(comp_edges)
                 prev_samples = samples
+                last_round_merged = False
+                stats.append(
+                    {"round": len(stats), "k": k, "n_edges": 0,
+                     "active_est": active_est,
+                     "sec": round(_time.time() - t_round, 3)}
+                )
                 break
             if n_edges * 16 <= remap_driver_bytes:
                 remap = self._remap_from_edges_driver(comp_edges)
@@ -751,6 +809,7 @@ class SketchCC:
                 .withColumn("_nz", F.lit(True))
             )
             old_labels = labels
+            lbl_obs = Observation()
             labels = (
                 labels.select("vertex", "root")
                 .join(remap, "root", "left")
@@ -760,13 +819,42 @@ class SketchCC:
                     F.coalesce("new_root", "root").alias("root"),
                     F.coalesce("_nz", F.lit(False)).alias("act"),
                 )
+                # next round's adaptive-k input, read off this checkpoint's
+                # own materialization: approximate count of distinct active
+                # roots (nulls — inactive vertices — are ignored)
+                .observe(
+                    lbl_obs,
+                    F.approx_count_distinct(
+                        F.when(F.col("act"), F.col("root"))
+                    ).alias("ac"),
+                )
                 .localCheckpoint(eager=True)
             )
+            active_est = int(lbl_obs.get["ac"])
             free_local_checkpoint(old_labels)
             free_local_checkpoint(comp_edges)
             prev_samples = samples
+            last_round_merged = True
+            stats.append(
+                {"round": len(stats), "k": k, "n_edges": n_edges,
+                 "active_est": active_est,
+                 "sec": round(_time.time() - t_round, 3)}
+            )
         if prev_samples is not None:
             free_local_checkpoint(prev_samples)
+        if gidx >= budget and last_round_merged and (active_est or 0) > 1:
+            # the final round still found cut edges and >1 component remains
+            # active: the sample budget ran out mid-merge. Labels are
+            # consistent but possibly under-merged (never wrongly merged).
+            self.last_distributed_stats["exhausted"] = True
+            warnings.warn(
+                "connected_components_distributed: sample budget exhausted "
+                f"with ~{active_est} active components; labeling may be "
+                "partial — raise samples_factor (budget scales with it) or "
+                "lower groups_per_round",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return labels.select("vertex", F.col("root").alias("component"))
 
     def _remap_from_edges_driver(self, comp_edges: DataFrame) -> DataFrame:

@@ -46,6 +46,7 @@ class GraphStreamDriver:
         eager_batch_limit: int = 500_000,
         config: "DriverConfig | None" = None,
         sketch_config: "SketchConfig | None" = None,
+        validate_stream: bool = False,
     ):
         if sketch_config is not None:
             seed, variant = sketch_config.seed, sketch_config.variant
@@ -53,6 +54,7 @@ class GraphStreamDriver:
             checkpoint_dir = config.checkpoint_dir
             eager = config.eager
             eager_batch_limit = config.eager_batch_limit
+            validate_stream = config.validate_stream
         self.spark = spark
         self.stream = stream
         self.num_vertices = num_vertices
@@ -74,6 +76,22 @@ class GraphStreamDriver:
         # n < 3*10^9, far beyond this path's own regime.
         self._forest: np.ndarray = np.empty(0, dtype=np.int64)
         self._dsu_valid = eager
+        # opt-in CROSS-BATCH stream validation (the one malformation class
+        # the |net|>1 in-slice guard cannot see: two inserts of one edge in
+        # DIFFERENT micro-batches each net +1 and silently corrupt the
+        # merged state — sketch_cc.updates_from_stream docstring). The
+        # reference assumes an alternating stream per edge at the producer;
+        # this engine can additionally CHECK it, because unlike the
+        # reference it already materializes distributed per-batch tables: a
+        # live-edge parity side-table (one 16-byte row per live edge,
+        # checkpointed per batch) is outer-joined with each batch's net edge
+        # view and raises on a double-insert or dead-delete. Cost: one
+        # extra O(live edges) join+checkpoint per batch — opt-in. After
+        # resume() the side-table restarts empty (sketch state is not
+        # invertible to an edge list), so only post-resume violations are
+        # caught; full coverage requires validate_stream from seq 0.
+        self.validate_stream = validate_stream
+        self._parity: DataFrame | None = None
         # track_insertions analog (reference tools/process_stream.cpp:27-61):
         # per-batch ingest metrics, also embedded in checkpoint metadata
         self.metrics: list[dict] = []
@@ -91,12 +109,18 @@ class GraphStreamDriver:
         if seq <= self.applied_seq:
             return
         lo = self.applied_seq
+        # watermark advances PER BATCH, not after the loop: if batch k+1
+        # fails (e.g. validate_stream rejects it) after batch k merged,
+        # applied_seq must reflect the merged batches or a retry would
+        # re-apply them into the linear state
         if batch_size is None:
             self._apply_batch(lo, seq)
+            self.applied_seq = seq
         else:
             for b_lo in range(lo, seq, batch_size):
-                self._apply_batch(b_lo, min(b_lo + batch_size, seq))
-        self.applied_seq = seq
+                b_hi = min(b_lo + batch_size, seq)
+                self._apply_batch(b_lo, b_hi)
+                self.applied_seq = b_hi
 
     def _apply_batch(self, lo: int, hi: int) -> None:
         import time
@@ -105,6 +129,8 @@ class GraphStreamDriver:
 
         t0 = time.time()
         batch = self.stream.where((F.col("seq") >= lo) & (F.col("seq") < hi))
+        if self.validate_stream:
+            self._validate_batch(batch)
         delta = self.alg.build_state(batch)
         if self.state is None:
             new_state = delta
@@ -146,6 +172,77 @@ class GraphStreamDriver:
         )
         if self.eager:
             self._eager_maintain(batch)
+
+    def _validate_batch(self, batch: DataFrame) -> None:
+        """Cross-batch stream-contract check (opt-in, see __init__).
+
+        Per batch: canonical per-edge net (the within-batch |net|>1 guard
+        comes along via _net_guard's eid alias) is full-outer-joined with
+        the live-edge parity table; a live edge with batch net=+1 is a
+        cross-batch double insert, a dead edge with net=-1 a dead delete —
+        both raise inside the join job (F.raise_error), so a malformed
+        producer fails the batch BEFORE its delta reaches the sketch state.
+        The surviving rows are exactly the new live-edge set, checkpointed
+        as next batch's table."""
+        from graphzeppelin_spark.session import free_local_checkpoint
+
+        canon = self.alg._canonical_updates(batch)
+        net = (
+            canon.groupBy("lo", "hi")
+            .agg(F.sum("sign").alias("net"))
+            # reuse the shared guard (it references an `eid` column)
+            .withColumn("eid", F.col("lo") * F.lit(self.num_vertices) + F.col("hi"))
+            .where(self.alg._net_guard())
+            .select("lo", "hi", "net")
+        )
+        live = (
+            self._parity
+            if self._parity is not None
+            else self.spark.createDataFrame([], "lo long, hi long")
+        ).withColumn("_live", F.lit(True))
+        joined = net.join(live, ["lo", "hi"], "full_outer").select(
+            "lo",
+            "hi",
+            F.coalesce("_live", F.lit(False)).alias("was_live"),
+            F.coalesce("net", F.lit(0)).alias("net"),
+        )
+        bad = (F.col("was_live") & (F.col("net") == 1)) | (
+            ~F.col("was_live") & (F.col("net") == -1)
+        )
+        checked = joined.select(
+            "lo",
+            "hi",
+            F.when(
+                bad,
+                F.raise_error(
+                    F.concat(
+                        F.lit("malformed stream: cross-batch "),
+                        F.when(F.col("net") == 1, F.lit("double insert"))
+                        .otherwise(F.lit("dead delete")),
+                        F.lit(" of edge ("),
+                        F.col("lo").cast("string"),
+                        F.lit(","),
+                        F.col("hi").cast("string"),
+                        F.lit(")"),
+                    )
+                ).cast("boolean"),
+            )
+            .otherwise(
+                # live XOR toggled: net=0 keeps prior liveness; net=+1 turns
+                # on (was dead, checked above); net=-1 turns off
+                F.when(F.col("net") == 0, F.col("was_live")).otherwise(
+                    F.col("net") == 1
+                )
+            )
+            .alias("now_live"),
+        )
+        new_parity = (
+            checked.where(F.col("now_live")).select("lo", "hi")
+            .localCheckpoint(eager=True)  # raises here on violation
+        )
+        if self._parity is not None:
+            free_local_checkpoint(self._parity)
+        self._parity = new_parity
 
     def _eager_maintain(self, batch: DataFrame) -> None:
         """Reference pre_insert analog on a whole micro-batch: insert edges

@@ -98,21 +98,52 @@ def main() -> None:
     for cpus in sorted({c for pair in LEVELS for c in pair}):
         results[cpus] = run_level(cpus)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    import statistics
+
     for lo, hi in LEVELS:
         r_lo, r_hi = results[lo], results[hi]
         thr_lo = r_lo["n_updates"] / r_lo["best_sec"]
         thr_hi = r_hi["n_updates"] / r_hi["best_sec"]
         eff = thr_hi / ((hi / lo) * thr_lo)
+        # variance story (VERDICT r4 item 5): the single best-vs-best ratio
+        # sits on a noisy VM — publish per-level spread plus the efficiency
+        # band over ALL run pairings, and a median-vs-median point estimate
+        eff_all = sorted(
+            (r_lo["n_updates"] / th) / ((hi / lo) * (r_lo["n_updates"] / tl))
+            for tl in r_lo["times"]
+            for th in r_hi["times"]
+        )
+        eff_median = (
+            (r_lo["n_updates"] / statistics.median(r_hi["times"]))
+            / ((hi / lo) * (r_lo["n_updates"] / statistics.median(r_lo["times"])))
+        )
+
+        def _spread(times):
+            return {
+                "mean_sec": round(statistics.mean(times), 2),
+                "median_sec": round(statistics.median(times), 2),
+                "stdev_sec": round(
+                    statistics.stdev(times) if len(times) > 1 else 0.0, 2
+                ),
+            }
+
         summary = {
             "workload": f"kron_{SCALE} insert+delete stream, edge_factor={EF}",
             "n_updates": r_lo["n_updates"],
             f"local{lo}": {"best_sec": round(r_lo["best_sec"], 2),
                            "updates_per_sec": round(thr_lo, 1),
-                           "times": [round(t, 2) for t in r_lo["times"]]},
+                           "times": [round(t, 2) for t in r_lo["times"]],
+                           **_spread(r_lo["times"])},
             f"local{hi}": {"best_sec": round(r_hi["best_sec"], 2),
                            "updates_per_sec": round(thr_hi, 1),
-                           "times": [round(t, 2) for t in r_hi["times"]]},
+                           "times": [round(t, 2) for t in r_hi["times"]],
+                           **_spread(r_hi["times"])},
             f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
+            "scaling_efficiency_median": round(eff_median, 3),
+            "scaling_efficiency_band_all_pairings": [
+                round(eff_all[0], 3), round(eff_all[-1], 3)
+            ],
+            "runs_per_level": len(r_lo["times"]),
         }
         ceil = ceilings.get((lo, hi))
         if ceil:
