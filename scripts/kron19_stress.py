@@ -123,10 +123,10 @@ def main() -> None:
           file=sys.stderr)
 
     # ---- distributed-labels CC (the 10^9 path at 10x) -------------------
-    # same discipline as bench.py's kron blocks: the prior phases' tenured
-    # garbage taxes shuffle-heavy queries by multiple x (measured 370s here
-    # vs 58-99s in a fresh session before this GC was added)
-    spark.sparkContext._jvm.System.gc()
+    # NO System.gc() needed anymore: the round-4 "370s late-session" number
+    # was boruvka() dropping the caller's state cache (every query after the
+    # first silently re-ran the sketch build) — fixed in round 5; see
+    # scripts/late_session_stress.py for the dedicated no-GC evidence run
     t0 = time.time()
     dcc = alg.connected_components_distributed(state)
     out["distributed_cc_nonisolated_components"] = int(

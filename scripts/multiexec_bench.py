@@ -29,8 +29,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCALE = int(os.environ.get("SPARK_GRAFT_MX_SCALE", "17"))
 EF = int(os.environ.get("SPARK_GRAFT_MX_EF", "256"))
 RUNS = int(os.environ.get("SPARK_GRAFT_MX_RUNS", "3"))
-# (executors, cores_per_executor, worker_mem_mb)
-LEVELS = [(1, 4, 12288), (2, 4, 12288), (4, 4, 12288), (8, 4, 12288)]
+# (executors, cores_per_executor, worker_mem_mb); executors via env, e.g.
+# SPARK_GRAFT_MX_EXECS=1,4 for a focused N->4N pair with more repetitions
+LEVELS = [
+    (int(n), 4, 12288)
+    for n in os.environ.get("SPARK_GRAFT_MX_EXECS", "1,2,4,8").split(",")
+]
 
 
 def build_pkg_zip(path: str) -> None:
@@ -106,12 +110,27 @@ def main() -> None:
             3,
         )
 
+    def eff_band(lo: int, hi: int) -> list[float] | None:
+        """Efficiency over ALL (lo-run, hi-run) pairings — the variance band."""
+        if lo not in by_exec or hi not in by_exec:
+            return None
+        scale_up = hi / lo
+        ratios = sorted(
+            tl / (scale_up * th)
+            for tl in by_exec[lo]["ingest_runs_sec"]
+            for th in by_exec[hi]["ingest_runs_sec"]
+        )
+        return [round(ratios[0], 3), round(ratios[-1], 3)]
+
     out = {
         "workload": f"kron_{SCALE} ef={EF} insert+delete ingest via spark-submit "
                     "local-cluster (separate executor JVMs), --py-files pkg zip",
         "levels": results,
+        "runs_per_level": RUNS,
         "scaling_efficiency_1_to_4_executors": eff(1, 4),
+        "scaling_efficiency_1_to_4_band_all_pairings": eff_band(1, 4),
         "scaling_efficiency_2_to_8_executors": eff(2, 8),
+        "scaling_efficiency_2_to_8_band_all_pairings": eff_band(2, 8),
         "hardware_ceiling_note": "ideal-workload ceiling on this VM: 4->16 "
         "cores 0.81, 8->32 cores 0.66 (BENCH/hardware_ceiling.json); "
         "ceiling-normalized = raw / ceiling",
@@ -120,7 +139,8 @@ def main() -> None:
         out["ceiling_normalized_2_to_8"] = round(eff(2, 8) / 0.66, 3)
     if eff(1, 4) is not None:
         out["ceiling_normalized_1_to_4"] = round(eff(1, 4) / 0.81, 3)
-    with open(os.path.join(REPO, "BENCH", "multiexec.json"), "w") as f:
+    out_name = os.environ.get("SPARK_GRAFT_MX_OUT", "multiexec.json")
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "levels"}))
 
