@@ -159,12 +159,19 @@ def main() -> None:
             "small-input regime (check headline_workload before comparing)")
     kron15 = kron_bench(KRON_SCALE, KRON_EDGE_FACTOR, "kron")
 
+    # breadth queries: best-of-2 — a single run on this VM carries 1.5-4x
+    # day-to-day noise plus first-touch warm-up (python workers, scan
+    # caches); two runs with a min is the cheapest stable estimate and
+    # matches the kron blocks' best-of-K discipline
     for name in [] if only_kron else BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        log(f"{name}: {times[name]}s ({n} rows)")
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            runs.append(time.time() - t0)
+        times[name] = round(min(runs), 3)
+        log(f"{name}: {times[name]}s (runs {[round(r, 2) for r in runs]}, {n} rows)")
 
     headline = kron17 if kron17 is not None else kron15
     out = {

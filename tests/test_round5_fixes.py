@@ -119,6 +119,45 @@ def test_boruvka_preserves_callers_cached_state(spark):
     assert state2.storageLevel == StorageLevel.NONE
 
 
+# ------------------------------------------------ pagerank fused loop
+
+
+def test_pagerank_convergence_loop_has_no_per_iteration_actions(spark, monkeypatch):
+    """Convergence mode must read max|Δ| and dangling mass via observe() on
+    the iteration's own checkpoint — NOT via extra count()/collect()
+    actions. Gate: the number of DataFrame.count/collect calls is the same
+    for 3 and for 6 iterations (setup-only, zero per iteration)."""
+    from pyspark.sql import DataFrame
+
+    from graphzeppelin_spark.operators.pagerank import pagerank_df
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 4]})
+    )
+    verts = spark.range(6).selectExpr("id as v")  # vertex 5 is dangling
+
+    calls = {"n": 0}
+    orig_count, orig_collect = DataFrame.count, DataFrame.collect
+
+    def counting_count(self):
+        calls["n"] += 1
+        return orig_count(self)
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig_collect(self)
+
+    monkeypatch.setattr(DataFrame, "count", counting_count)
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+
+    def run(iters):
+        calls["n"] = 0
+        pagerank_df(edges, vertices=verts, tol=0.0, max_iters=iters)
+        return calls["n"]
+
+    assert run(6) == run(3)  # zero driver actions per iteration
+
+
 # ---------------------------------------------- cross-batch validation
 
 
