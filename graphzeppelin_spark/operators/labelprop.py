@@ -25,12 +25,20 @@ def label_propagation_df(
     max_iters: int = 30,
     rule: str = "min",
     jump: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Return (v:long, label:long).
 
     jump (min rule only): add a pointer-jumping step label(v) <- label(label(v))
     per superstep — labels are vertex ids, so this reaches the same min-label
-    fixpoint in O(log d) instead of O(d) rounds on high-diameter graphs."""
+    fixpoint in O(log d) instead of O(d) rounds on high-diameter graphs.
+
+    checkpoint_dir: commit the label table after every superstep (snapshot +
+    iteration/signature metadata + per-partition lineage, streaming/
+    checkpoint.py — same mechanism and guard discipline as pagerank_df) and
+    RESUME mid-convergence when the directory already holds snapshots for
+    the same (rule, jump, n, edge-fingerprint) run; a converged snapshot
+    short-circuits without re-iterating."""
     verts = vertices if vertices is not None else vertices_of(edges)
     labels = verts.select(F.col("v").cast("long"), F.col("v").cast("long").alias("label"))
     spark = edges.sparkSession
@@ -60,8 +68,42 @@ def label_propagation_df(
             or 0
         )
 
-    cur_sig = _sig(labels)
-    for _ in range(max_iters):
+    store = None
+    start_iter = 0
+    edge_fp = None
+    cur_sig = None
+    if checkpoint_dir is not None:
+        from graphzeppelin_spark.streaming.checkpoint import CheckpointStore
+
+        # one cheap agg over the CACHED bidirected edges — a checkpoint dir
+        # reused across different graphs must not silently resume
+        fp = edges_bi.agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(30,0)")).alias("chk"),
+        ).collect()[0]
+        edge_fp = f"{fp['m']}:{fp['chk']}"
+        store = CheckpointStore(spark, checkpoint_dir)
+        if store.latest_id() is not None:
+            snap, meta = store.read()
+            if (
+                meta.get("kind") == "labelprop"
+                and meta.get("rule") == rule
+                and meta.get("jump") == jump
+                and meta.get("n") == n_verts
+                and meta.get("edge_fp") == edge_fp
+            ):
+                labels.unpersist()
+                labels = snap.persist()
+                start_iter = int(meta["iteration"])
+                cur_sig = int(meta["sig"])
+                if meta.get("converged"):
+                    edges_bi.unpersist()
+                    return labels.select("v", "label")
+    if cur_sig is None:
+        cur_sig = _sig(labels)
+    from pyspark.sql import Observation
+
+    for _it in range(start_iter, max_iters):
         lbl = F.broadcast(labels) if broadcast_labels else labels
         nbr = edges_bi.join(lbl, edges_bi.src == lbl.v).select(
             F.col("dst").alias("v2"), "label"
@@ -102,14 +144,36 @@ def label_propagation_df(
                     "label"
                 ),
             )
-        new_labels = stepped.localCheckpoint(eager=True)
-        new_sig = _sig(new_labels)
+        # the fixpoint signature rides observe() on the checkpoint that
+        # materializes the superstep anyway — ONE action per superstep
+        # (the separate _sig job was the second action)
+        it_obs = Observation()
+        new_labels = stepped.observe(
+            it_obs,
+            F.sum(F.xxhash64("v", "label").cast("decimal(38,0)")).alias("h"),
+        ).localCheckpoint(eager=True)
+        new_sig = int(it_obs.get["h"] or 0)
         labels.unpersist()
         from graphzeppelin_spark.session import free_local_checkpoint
 
         free_local_checkpoint(labels)  # no-op for the initial persisted plan
         labels = new_labels
-        if new_sig == cur_sig:
+        converged = new_sig == cur_sig
+        if store is not None:
+            store.commit(
+                labels,
+                {
+                    "kind": "labelprop",
+                    "iteration": _it + 1,
+                    "rule": rule,
+                    "jump": jump,
+                    "n": n_verts,
+                    "edge_fp": edge_fp,
+                    "sig": new_sig,
+                    "converged": converged,
+                },
+            )
+        if converged:
             break
         cur_sig = new_sig
     edges_bi.unpersist()

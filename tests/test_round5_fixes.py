@@ -119,6 +119,69 @@ def test_boruvka_preserves_callers_cached_state(spark):
     assert state2.storageLevel == StorageLevel.NONE
 
 
+# ------------------------------------------- labelprop checkpoint/resume
+
+
+def test_labelprop_resumes_mid_convergence(spark, tmp_path):
+    from graphzeppelin_spark.operators.labelprop import label_propagation_df
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1, 2, 5, 6], "dst": [1, 2, 3, 6, 7]})
+    )
+    verts = spark.range(9).selectExpr("id as v")
+    ck = str(tmp_path / "lp_ck")
+    # phase 1: "crash" after 2 supersteps (jump off so convergence takes >2)
+    label_propagation_df(edges, vertices=verts, max_iters=2, jump=False,
+                         checkpoint_dir=ck)
+    resumed = label_propagation_df(edges, vertices=verts, max_iters=30,
+                                   jump=False, checkpoint_dir=ck).toPandas()
+    straight = label_propagation_df(edges, vertices=verts, max_iters=30,
+                                    jump=False).toPandas()
+    r = resumed.sort_values("v").reset_index(drop=True)
+    s = straight.sort_values("v").reset_index(drop=True)
+    assert r.equals(s)
+    # converged snapshot short-circuits (returns without re-iterating)
+    again = label_propagation_df(edges, vertices=verts, max_iters=30,
+                                 jump=False, checkpoint_dir=ck).toPandas()
+    assert again.sort_values("v").reset_index(drop=True).equals(s)
+    # a DIFFERENT graph must NOT resume from this checkpoint
+    edges2 = spark.createDataFrame(pd.DataFrame({"src": [0, 4], "dst": [4, 8]}))
+    fresh = label_propagation_df(edges2, vertices=verts, max_iters=30,
+                                 jump=False, checkpoint_dir=str(tmp_path / "lp_ck2"))
+    guarded = label_propagation_df(edges2, vertices=verts, max_iters=30,
+                                   jump=False, checkpoint_dir=ck).toPandas()
+    assert guarded.sort_values("v").reset_index(drop=True).equals(
+        fresh.toPandas().sort_values("v").reset_index(drop=True)
+    )
+
+
+# -------------------------------------------- exact-CC checkpoint/resume
+
+
+def test_exact_cc_resumes_mid_convergence(spark, tmp_path):
+    from graphzeppelin_spark.operators.connectivity import connected_components_df
+
+    # a path graph needs several star-contraction rounds
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": list(range(0, 12)), "dst": list(range(1, 13))})
+    )
+    verts = spark.range(14).selectExpr("id as v")
+    ck = str(tmp_path / "cc_ck")
+    connected_components_df(edges, vertices=verts, max_iters=1,
+                            checkpoint_dir=ck)  # phase 1: "crash" after 1 round
+    resumed = connected_components_df(edges, vertices=verts,
+                                      checkpoint_dir=ck).toPandas()
+    straight = connected_components_df(edges, vertices=verts).toPandas()
+    r = resumed.sort_values("v").reset_index(drop=True)
+    s = straight.sort_values("v").reset_index(drop=True)
+    assert r.equals(s)
+    assert (r["component"] == [0] * 13 + [13]).all()
+    # converged snapshot short-circuits on the next call
+    again = connected_components_df(edges, vertices=verts,
+                                    checkpoint_dir=ck).toPandas()
+    assert again.sort_values("v").reset_index(drop=True).equals(s)
+
+
 # ------------------------------------------------ pagerank fused loop
 
 
