@@ -327,6 +327,11 @@ class SketchCC:
         slice_bytes_per_group = (g.cols_per_sample * g.bkt_per_col + 1) * 16
         active: np.ndarray | None = None  # roots that may still have cut edges
         rnd = 0
+        import time as _time
+
+        rounds_stats: list[dict] = []
+        self.last_boruvka_stats = {"rounds": rounds_stats, "driver_finish_round": None}
+        t_round = _time.time()
         while rnd < budget:
             labels = dsu.labels()
             if rnd > 0 and active is not None:
@@ -341,8 +346,15 @@ class SketchCC:
                 # root distributively, so the driver receives exactly one
                 # slice row per active component
                 if len(active) * remaining * slice_bytes_per_group <= driver_finish_bytes:
+                    self.last_boruvka_stats["driver_finish_round"] = rnd
+                    self.last_boruvka_stats["driver_finish_components"] = len(active)
                     self._finish_driver_side(
                         state, labels, active, rnd, budget, dsu, forest, _apply_edges
+                    )
+                    rounds_stats.append(
+                        {"round": rnd, "kind": "driver_finish",
+                         "active": len(active),
+                         "sec": round(_time.time() - t_round, 3)}
                     )
                     break
             if rnd == 0:
@@ -352,12 +364,19 @@ class SketchCC:
             nonzero = sampled[sampled["status"] != ZERO]
             active = np.unique(nonzero["root"].to_numpy(np.int64))
             good = nonzero[nonzero["status"] == GOOD]
-            if len(good) == 0:
-                break
-            eids = good["eid"].to_numpy(np.uint64)
-            lo, hi = decode_edges(eids, n)
-            valid = (lo >= 0) & (lo < hi) & (hi < n)  # checksum false-positive guard
-            if _apply_edges(lo[valid], hi[valid]) == 0:
+            merged = 0
+            if len(good) > 0:
+                eids = good["eid"].to_numpy(np.uint64)
+                lo, hi = decode_edges(eids, n)
+                valid = (lo >= 0) & (lo < hi) & (hi < n)  # checksum false-positive guard
+                merged = _apply_edges(lo[valid], hi[valid])
+            rounds_stats.append(
+                {"round": rnd, "kind": "distributed", "active": int(len(active)),
+                 "good_samples": int(len(good)), "merged": int(merged),
+                 "sec": round(_time.time() - t_round, 3)}
+            )
+            t_round = _time.time()
+            if merged == 0:
                 break
             rnd += 1
         if owns_cache:
