@@ -55,6 +55,62 @@ def live_edges_df(stream: DataFrame, upto_seq: int | None = None) -> DataFrame:
     )
 
 
+def stage_edges(
+    edges: DataFrame,
+    *,
+    directed: bool = False,
+    n_part: int = 32,
+    partition_key: str = "src",
+    big_threshold: int = 1_000_000,
+):
+    """Stage a caller edge plan for an iterative operator: ONE materialization.
+
+    Persists the narrow (src, dst) projection FIRST and runs every setup scan
+    — the size-gate count, bidirection, vertex derivation — against that
+    cache, so an expensive lazy caller plan (e.g. a 143M-row live-edge
+    aggregation at kron_19) is computed exactly once. The previous order
+    (gate count on the raw plan, persist afterwards) re-ran the caller's plan
+    up to 5x during setup: measured 3x wall-clock on pagerank x10 at kron_19
+    (108.5s vs 36.6s, BENCH/kron19.json).
+
+    Returns (staged, narrow, m_directed, big):
+      staged — persisted directed-edge table (bidirected unless `directed`),
+               hash-partitioned on `partition_key` when big (the web-scale
+               partition-once plan; small graphs keep the AQE-coalesced
+               shuffle plan — both effects measured, see pagerank_df);
+      narrow — the persisted raw projection, for deriving vertices from the
+               cache. Call release_narrow(staged, narrow) once every setup
+               action that reads it has run.
+    """
+    narrow = edges.select("src", "dst").persist()
+    m_raw = narrow.count()  # the ONLY scan of the caller's plan
+    m_directed = m_raw if directed else m_raw * 2
+    big = m_directed >= big_threshold
+    base = narrow if directed else bidirect(narrow)
+    if big:
+        base = base.repartition(n_part, partition_key)
+    if base is narrow:  # directed + small: the narrow cache IS the table
+        return narrow, narrow, m_directed, big
+    staged = base.persist()
+    staged.count()  # materialize from narrow's cache, not the raw plan
+    return staged, narrow, m_directed, big
+
+
+def release_narrow(staged: DataFrame, narrow: DataFrame) -> None:
+    """Drop the staging cache from stage_edges once setup scans are done."""
+    if narrow is not staged:
+        narrow.unpersist()
+
+
+def fits_broadcast(n_rows: int, row_bytes: int, max_bytes: int) -> bool:
+    """Shared byte-gate for broadcasting a skinny per-vertex table through an
+    iterative join. Gated on estimated bytes, not rows: row-count gates
+    undercount wide relations (pagerank_df's gate rationale). Default budget
+    64MB of data ≈ a few hundred MB as a built hash relation — inside default
+    driver configs."""
+    return n_rows * row_bytes <= max_bytes
+
+
 def vertices_of(edges: DataFrame) -> DataFrame:
     """Distinct vertex ids appearing in the edge table."""
     return (

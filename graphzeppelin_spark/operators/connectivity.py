@@ -133,6 +133,13 @@ def connected_components_df(
                     free_local_checkpoint(cur)
                 else:
                     cur.unpersist()
+                # no repartition-on-resume here (unlike pagerank/labelprop):
+                # the snapshot feeds _large_star, whose first op is a UNION
+                # of cur with its column-swapped reverse — the union destroys
+                # any input co-partitioning before the groupBy(src) exchange,
+                # so restoring a partitioning would add a shuffle and save
+                # none. The fresh path has the same shape (distinct on
+                # (src,dst) ≠ partitioned on src).
                 cur = snap.persist()
                 cur_stats = (int(meta["c"]), int(meta["h"]))
                 start_iter = int(meta["iteration"])

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from graphzeppelin_spark.functions.edges import bidirect, vertices_of
+from graphzeppelin_spark.functions.edges import (
+    fits_broadcast,
+    release_narrow,
+    stage_edges,
+    vertices_of,
+)
 
 
 def label_propagation_df(
@@ -26,6 +31,8 @@ def label_propagation_df(
     rule: str = "min",
     jump: bool = True,
     checkpoint_dir: str | None = None,
+    broadcast_max_bytes: int = 64 * 1024 * 1024,
+    big_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Return (v:long, label:long).
 
@@ -39,25 +46,25 @@ def label_propagation_df(
     RESUME mid-convergence when the directory already holds snapshots for
     the same (rule, jump, n, edge-fingerprint) run; a converged snapshot
     short-circuits without re-iterating."""
-    verts = vertices if vertices is not None else vertices_of(edges)
-    labels = verts.select(F.col("v").cast("long"), F.col("v").cast("long").alias("label"))
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # size-gated plan shape, same discipline and same measured rationale as
     # pagerank_df: big graphs partition the immutable edge table ONCE on the
-    # superstep join key and broadcast the skinny label tables (≤4M
-    # vertices); small graphs keep the plain AQE-coalesced shuffle plan
-    # (per-superstep broadcast construction costs more than it saves there)
-    big_edges = edges.count() * 2 >= 1_000_000
-    edges_bi = bidirect(edges)
-    if big_edges:
-        edges_bi = edges_bi.repartition(n_part, "src")
-    edges_bi = edges_bi.persist()
-    edges_bi.count()
+    # superstep join key and broadcast the skinny label tables; small graphs
+    # keep the plain AQE-coalesced shuffle plan (per-superstep broadcast
+    # construction costs more than it saves there). stage_edges persists the
+    # narrow projection BEFORE the gate count — caller's plan runs once.
+    edges_bi, narrow, _m, big_edges = stage_edges(
+        edges, directed=False, n_part=n_part, big_threshold=big_threshold
+    )
+    verts = vertices if vertices is not None else vertices_of(narrow)
+    labels = verts.select(F.col("v").cast("long"), F.col("v").cast("long").alias("label"))
 
     labels = labels.persist()
     n_verts = labels.count()
-    broadcast_labels = big_edges and n_verts <= 4_000_000  # conservative broadcast-fit ceiling, see pagerank_df
+    release_narrow(edges_bi, narrow)  # every setup scan has run
+    # labels are two longs per row (16B); same byte-gate helper as pagerank
+    broadcast_labels = big_edges and fits_broadcast(n_verts, 16, broadcast_max_bytes)
 
     def _sig(df: DataFrame) -> int:
         # order-insensitive content hash in one job (fixpoint detection)
@@ -93,6 +100,12 @@ def label_propagation_df(
                 and meta.get("edge_fp") == edge_fp
             ):
                 labels.unpersist()
+                # labels is the per-superstep join spine: re-establish the
+                # v-partitioning the in-loop checkpoints would carry (same
+                # resume treatment as pagerank_df — a resumed big-graph run
+                # must not lose the tuned co-partitioned plan shape)
+                if big_edges:
+                    snap = snap.repartition(n_part, "v")
                 labels = snap.persist()
                 start_iter = int(meta["iteration"])
                 cur_sig = int(meta["sig"])

@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphzeppelin_spark.functions.edges import bidirect, vertices_of
+from graphzeppelin_spark.functions.edges import (
+    fits_broadcast,
+    release_narrow,
+    stage_edges,
+    vertices_of,
+)
 
 
 def pagerank_df(
@@ -30,6 +35,7 @@ def pagerank_df(
     directed: bool = False,
     checkpoint_dir: str | None = None,
     broadcast_max_bytes: int = 64 * 1024 * 1024,
+    big_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Return (v:long, score:double). Undirected edges contribute both ways.
 
@@ -44,9 +50,6 @@ def pagerank_df(
     mechanism for a crashed job or an intentional two-phase run.
     """
     spark = edges.sparkSession
-    verts = (vertices if vertices is not None else vertices_of(edges)).select(
-        F.col("v").cast("long")
-    )
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # plan shape is SIZE-GATED (both effects measured on this box):
     # - big edge tables (≥1M directed rows): hash-partition ONCE on the
@@ -57,12 +60,14 @@ def pagerank_df(
     #   partitioning COST more than the AQE-coalesced tiny shuffles they
     #   replace (sf0.1 chain regressed 6s → 21s before this gate), so the
     #   plain shuffle plan stays.
-    m_directed = edges.count() * (1 if directed else 2)
-    big_edges = m_directed >= 1_000_000
-    base_edges = edges.select("src", "dst") if directed else bidirect(edges)
-    if big_edges:
-        base_edges = base_edges.repartition(n_part, "src")
-    directed_edges = base_edges.persist()
+    # stage_edges persists the narrow projection BEFORE the gate count, so
+    # the caller's (possibly expensive lazy) plan materializes exactly once.
+    directed_edges, narrow, m_directed, big_edges = stage_edges(
+        edges, directed=directed, n_part=n_part, big_threshold=big_threshold
+    )
+    verts = (vertices if vertices is not None else vertices_of(narrow)).select(
+        F.col("v").cast("long")
+    )
     n = verts.count()
 
     # order-independent edge-set fingerprint (count + summed hash), needed
@@ -95,6 +100,7 @@ def pagerank_df(
         deg = deg.repartition(n_part, "v")
     deg = deg.persist()
     deg.count()
+    release_narrow(directed_edges, narrow)  # every setup scan has run
 
     store = None
     start_iter = 0
@@ -155,7 +161,7 @@ def pagerank_df(
     # pre-hashed on their join keys, exchange only the contribs side) takes
     # over — the web-scale shape, since the edge table never reshuffles
     # either way. Only active for big edge tables (see the size gate above).
-    broadcast_ranks = big_edges and n * 24 <= broadcast_max_bytes
+    broadcast_ranks = big_edges and fits_broadcast(n, 24, broadcast_max_bytes)
     from pyspark.sql import Observation
 
     for _it in range(start_iter, iters):
