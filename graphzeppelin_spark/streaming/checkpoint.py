@@ -191,7 +191,22 @@ class IcebergBackend(CatalogBackend):
 
     def write_state(self, state: DataFrame, snap_id: int) -> list[dict[str, int]]:
         self._ensure_tables(state)
-        state.withColumn("_snap", F.lit(snap_id)).writeTo(self.table).append()
+        # Idempotent vs a crash between write_state and publish: snap ids are
+        # allocated as latest PUBLISHED + 1, so a retried commit reuses the
+        # same id — a plain append would leave the failed attempt's orphan
+        # rows in place and read_state would return duplicated/mixed snapshot
+        # content. overwritePartitions replaces exactly the _snap partitions
+        # present in this write (dynamic partition overwrite, pure DataFrame
+        # API — no Iceberg SQL extensions required), restoring the invariant
+        # that a snapshot visible via metadata is well-formed. (The parquet
+        # backend gets the same property from mode("overwrite").) Caveat: an
+        # EMPTY retried state overwrites no partition, so rows from a failed
+        # non-empty attempt at the same id would survive — that requires the
+        # same iteration to produce different content across retries, which
+        # the deterministic per-iteration commit protocol excludes.
+        state.withColumn("_snap", F.lit(snap_id)).writeTo(
+            self.table
+        ).overwritePartitions()
         return []  # per-partition counts come from the Iceberg manifest
 
     def publish(self, snap_id: int, meta: dict[str, Any]) -> None:

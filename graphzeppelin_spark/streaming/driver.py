@@ -86,10 +86,11 @@ class GraphStreamDriver:
         # live-edge parity side-table (one 16-byte row per live edge,
         # checkpointed per batch) is outer-joined with each batch's net edge
         # view and raises on a double-insert or dead-delete. Cost: one
-        # extra O(live edges) join+checkpoint per batch — opt-in. After
-        # resume() the side-table restarts empty (sketch state is not
-        # invertible to an edge list), so only post-resume violations are
-        # caught; full coverage requires validate_stream from seq 0.
+        # extra O(live edges) join+checkpoint per batch — opt-in. Parity is
+        # a PURE FUNCTION of the stream prefix, so resume() rebuilds it
+        # with one group-by over stream[seq < watermark] (_rebuild_parity)
+        # — full validation coverage survives a restart, no persisted
+        # side-table needed.
         self.validate_stream = validate_stream
         self._parity: DataFrame | None = None
         # track_insertions analog (reference tools/process_stream.cpp:27-61):
@@ -244,6 +245,30 @@ class GraphStreamDriver:
             free_local_checkpoint(self._parity)
         self._parity = new_parity
 
+    def _rebuild_parity(self) -> None:
+        """Reconstruct the live-edge parity table from the stream prefix.
+
+        Liveness is 'seen an odd number of times before the watermark' — a
+        pure function of the stream — so a resumed driver does NOT need a
+        persisted side-table: one O(prefix) canonical group-by restores FULL
+        cross-batch validation coverage. Without this, a resumed parity
+        table restarting empty would raise a FALSE 'dead delete' on any
+        legitimate delete of an edge inserted before the checkpoint (it
+        would see was_live=False with net=-1 on a well-formed stream)."""
+        pre = self.stream.where(F.col("seq") < F.lit(self.applied_seq))
+        self._parity = (
+            pre.where(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("lo"),
+                F.greatest("src", "dst").alias("hi"),
+            )
+            .groupBy("lo", "hi")
+            .agg((F.count(F.lit(1)) % 2).alias("_p"))
+            .where(F.col("_p") == 1)
+            .select("lo", "hi")
+            .localCheckpoint(eager=True)
+        )
+
     def _eager_maintain(self, batch: DataFrame) -> None:
         """Reference pre_insert analog on a whole micro-batch: insert edges
         union-found eagerly; a delete of a current forest edge invalidates the
@@ -302,7 +327,27 @@ class GraphStreamDriver:
         return self._forest[idx] == codes
 
     def _forest_add(self, codes: np.ndarray) -> None:
-        self._forest = np.union1d(self._forest, codes)
+        """Merge new codes into the sorted packed forest in O(F + B log F)
+        (B = batch adds): sort/dedupe the small batch, binary-search the
+        insertion points, one np.insert copy. The previous np.union1d
+        concatenated and RE-SORTED the entire forest every micro-batch —
+        an O(F log F) full-array sort per batch, a 10^8-element sort each
+        time at the driver-DSU ceiling this packing targets."""
+        if len(codes) == 0:
+            return
+        codes = np.unique(codes.astype(np.int64, copy=False))
+        if len(self._forest) == 0:
+            self._forest = codes
+            return
+        idx = np.searchsorted(self._forest, codes)
+        # defensive dedupe vs the existing forest (applied edges are new,
+        # but a duplicate would silently break the binary-search probes)
+        probe = np.minimum(idx, len(self._forest) - 1)
+        present = self._forest[probe] == codes
+        if present.any():
+            codes, idx = codes[~present], idx[~present]
+        if len(codes):
+            self._forest = np.insert(self._forest, idx, codes)
 
     def _eager_replay_ordered(self, rows) -> None:
         """Scalar stream-order replay — only for the rare batch where a
@@ -454,10 +499,17 @@ class GraphStreamDriver:
         stream: DataFrame,
         checkpoint_dir: str,
         eager: bool = True,
+        eager_batch_limit: int = 500_000,
+        validate_stream: bool = False,
     ) -> "GraphStreamDriver":
         """Reconstruct a driver from the latest snapshot; continues the stream
         from the committed seq watermark (reference construct_from_serialized_data:
-        reheated state, dsu_valid=false)."""
+        reheated state, dsu_valid=false).
+
+        validate_stream: forwarded (it previously dropped silently across
+        restarts); the live-edge parity table is rebuilt from the stream
+        prefix (_rebuild_parity) so coverage is identical to a driver that
+        validated from seq 0 — one extra O(prefix) group-by at resume."""
         store = CheckpointStore(spark, checkpoint_dir)
         state, meta = store.read()
         drv = cls(
@@ -468,10 +520,14 @@ class GraphStreamDriver:
             variant=meta["variant"],
             checkpoint_dir=checkpoint_dir,
             eager=eager,
+            eager_batch_limit=eager_batch_limit,
+            validate_stream=validate_stream,
         )
         drv.state = state.persist()
         drv.applied_seq = meta["seq_watermark"]
         drv._dsu_valid = False  # reheat forces a fresh query
+        if validate_stream and drv.applied_seq > 0:
+            drv._rebuild_parity()
         return drv
 
 

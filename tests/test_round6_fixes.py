@@ -91,6 +91,110 @@ def test_pagerank_scores_unchanged_by_staging(spark):
         assert got[v] == pytest.approx(r[v], abs=1e-9)
 
 
+def _stream_df(spark, rows):
+    """rows: list of (seq, type, src, dst)."""
+    pdf = pd.DataFrame(rows, columns=["seq", "type", "src", "dst"]).astype(
+        {"seq": np.int64, "type": np.int32, "src": np.int64, "dst": np.int64}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_validate_stream_sound_after_resume(spark, tmp_path):
+    """ADVICE r5 medium: a resumed parity table restarting empty raised a
+    FALSE 'dead delete' on any legitimate delete of a pre-checkpoint edge,
+    and resume() silently dropped validate_stream. Now parity is rebuilt
+    from the stream prefix: the legit delete passes, coverage is full."""
+    from graphzeppelin_spark.streaming.driver import GraphStreamDriver
+
+    ck = str(tmp_path / "drv_ck")
+    stream = _stream_df(
+        spark,
+        [
+            (0, 0, 1, 2), (1, 0, 2, 3),  # pre-checkpoint inserts
+            (2, 1, 1, 2),                # post-resume: LEGIT delete of (1,2)
+        ],
+    )
+    drv = GraphStreamDriver(
+        spark, stream, num_vertices=8, checkpoint_dir=ck, validate_stream=True
+    )
+    drv.process_stream_until(2)
+    resumed = GraphStreamDriver.resume(
+        spark, stream, checkpoint_dir=ck, validate_stream=True
+    )
+    assert resumed.validate_stream is True  # no longer silently dropped
+    resumed.process_stream_until(3)  # must NOT raise (was a false positive)
+    labels = resumed.connected_components()
+    assert labels[1] != labels[2] and labels[2] == labels[3]
+
+
+def test_validate_stream_after_resume_catches_double_insert(spark, tmp_path):
+    """Full coverage after resume: a post-resume re-insert of a
+    pre-checkpoint live edge is the cross-batch double insert the old
+    empty-restart parity could never see."""
+    from graphzeppelin_spark.streaming.driver import GraphStreamDriver
+
+    ck = str(tmp_path / "drv_ck2")
+    stream = _stream_df(
+        spark,
+        [(0, 0, 1, 2), (1, 0, 2, 3), (2, 0, 2, 1)],  # (1,2) re-inserted
+    )
+    drv = GraphStreamDriver(
+        spark, stream, num_vertices=8, checkpoint_dir=ck, validate_stream=True
+    )
+    drv.process_stream_until(2)
+    resumed = GraphStreamDriver.resume(
+        spark, stream, checkpoint_dir=ck, validate_stream=True
+    )
+    with pytest.raises(Exception, match="double insert"):
+        resumed.process_stream_until(3)
+
+
+def test_checkpoint_commit_retry_idempotent(spark, tmp_path):
+    """A crash between write_state and publish must not leave a later
+    retried commit with duplicated/mixed snapshot rows (the snap id is
+    reused — it was never published). Pins the protocol invariant the
+    IcebergBackend fix (overwritePartitions, not append) restores; the
+    parquet backend gets it from mode('overwrite')."""
+    from graphzeppelin_spark.streaming.checkpoint import CheckpointStore
+
+    root = str(tmp_path / "ck_retry")
+    store = CheckpointStore(spark, root)
+    df1 = spark.range(5).selectExpr("id as v", "id * 2 as val")
+
+    real_publish = store.backend.publish
+    def failing_publish(snap_id, meta):
+        raise RuntimeError("simulated crash between write_state and publish")
+    store.backend.publish = failing_publish
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.commit(df1, {"kind": "t"})
+    store.backend.publish = real_publish
+
+    df2 = spark.range(5).selectExpr("id as v", "id * 3 as val")  # retried content
+    sid = store.commit(df2, {"kind": "t"})
+    assert sid == 1  # reused the unpublished id
+    got, _ = store.read()
+    rows = {(r["v"], r["val"]) for r in got.collect()}
+    assert rows == {(i, i * 3) for i in range(5)}  # no orphan df1 rows
+
+
+def test_forest_add_presorted_merge_matches_union1d():
+    """ADVICE r5 low: _forest_add must not re-sort the whole forest per
+    batch; the searchsorted+insert merge must stay set-equivalent."""
+    from graphzeppelin_spark.streaming.driver import GraphStreamDriver
+
+    rng = np.random.default_rng(7)
+    drv = GraphStreamDriver.__new__(GraphStreamDriver)  # only _forest needed
+    drv._forest = np.empty(0, dtype=np.int64)
+    oracle = np.empty(0, dtype=np.int64)
+    for _ in range(20):
+        batch = rng.integers(0, 10_000, rng.integers(0, 50), dtype=np.int64)
+        drv._forest_add(batch)
+        oracle = np.union1d(oracle, batch)
+        assert np.array_equal(drv._forest, oracle)
+        # sortedness invariant the binary-search probes rely on
+        assert np.all(np.diff(drv._forest) > 0)
+
+
 def test_labelprop_resume_restores_partitioning(spark, tmp_path):
     # big_edges plan + mid-convergence stop, then resume: the resumed run
     # must converge to the identical labeling (and exercise the
