@@ -669,6 +669,7 @@ class SketchCC:
         max_rounds: int | None = None,
         groups_per_round: int | None = None,
         remap_driver_bytes: int = 64 * 1024 * 1024,
+        complete: bool = False,
     ) -> DataFrame:
         """(vertex, component) with labels resident as a DataFrame end-to-end —
         the 10^9+-vertex path: no driver structure is ever Θ(num_vertices)
@@ -705,7 +706,13 @@ class SketchCC:
 
         Vertices with no updates in the stream never appear in `state`; they
         are isolated singletons and are implicitly their own component.
-        Returns labels for state vertices only.
+        By default returns labels for state vertices only (the compact form
+        for sparse universes); `complete=True` unions the implicit
+        singletons in — a `spark.range(n)` anti-join, generated and joined
+        distributed, never collected — so every vertex in [0, n) gets a row,
+        matching the reference's full-universe labeling
+        (include/return_types.h:13-37, src/return_types.cpp:5-19) and the
+        driver-DSU path's `n_components` on the same graph.
 
         Budget accounting (k = groups_per_round): the sketch budget
         (num_samples ≈ 1.71·log2(n)·samples_factor) is derived for ONE fresh
@@ -874,7 +881,16 @@ class SketchCC:
                 RuntimeWarning,
                 stacklevel=2,
             )
-        return labels.select("vertex", F.col("root").alias("component"))
+        out = labels.select("vertex", F.col("root").alias("component"))
+        if complete:
+            untouched = (
+                self.spark.range(n)
+                .select(F.col("id").cast("long").alias("vertex"))
+                .join(out.select("vertex"), "vertex", "left_anti")
+                .select("vertex", F.col("vertex").alias("component"))
+            )
+            out = out.unionByName(untouched)
+        return out
 
     def _remap_from_edges_driver(self, comp_edges: DataFrame) -> DataFrame:
         """(root, new_root) remap for a BOUNDED component-edge set, solved on

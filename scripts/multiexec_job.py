@@ -83,11 +83,14 @@ def main() -> None:
     out["n_components"] = int(len(np.unique(labels)))
 
     t0 = time.time()
-    dcc = alg.connected_components_distributed(state)
+    # complete=True: full-universe labeling (implicit singletons unioned in),
+    # so this count is directly comparable to n_components from driver-DSU
+    dcc = alg.connected_components_distributed(state, complete=True)
     out["distributed_cc_components"] = int(
         dcc.select("component").distinct().count()
     )
     out["distributed_cc_sec"] = round(time.time() - t0, 2)
+    out["cc_paths_agree"] = out["distributed_cc_components"] == out["n_components"]
 
     from pyspark.sql import functions as F
 
