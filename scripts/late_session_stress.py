@@ -59,12 +59,66 @@ def main() -> None:
     out: dict = {"scale": SCALE, "edge_factor": EF, "cpus": CPUS,
                  "manual_gc_calls": 0, "phases": []}
 
+    # ---- per-phase instrumentation (round-6: name the early-block ramp) --
+    # the same instrumentation class that found the round-5 cache-ownership
+    # bug: cached-RDD storage footprint, cumulative JVM GC time, cumulative
+    # python-worker CPU — sampled at every phase boundary, deltas recorded
+    # per phase. If the 35.8→77→122.6s early-block ramp (BENCH/
+    # late_session.json r5) is deferred cleanup of the per-run checkpointed
+    # DataFrames (py4j releases → ContextCleaner unpersists only when
+    # CPython GC collects the wrapper), rdd_storage will climb across the
+    # early runs and collapse after an explicit gc.collect().
+    def _py_worker_cpu_s() -> float:
+        total = 0.0
+        hz = os.sysconf("SC_CLK_TCK")
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read()
+                if b"pyspark.daemon" not in cmd and b"pyspark.worker" not in cmd:
+                    continue
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().rsplit(")", 1)[1].split()
+                total += (int(parts[11]) + int(parts[12])) / hz  # utime+stime
+            except (OSError, IndexError, ValueError):
+                continue
+        return total
+
+    def _metrics() -> dict:
+        jsc = spark.sparkContext._jsc.sc()
+        infos = jsc.getRDDStorageInfo()
+        mx = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        gc_ms = sum(
+            b.getCollectionTime() for b in mx.getGarbageCollectorMXBeans()
+        )
+        return {
+            "rdd_cached": len(infos),
+            "rdd_mem_mb": round(sum(i.memSize() for i in infos) / 1e6, 1),
+            "rdd_disk_mb": round(sum(i.diskSize() for i in infos) / 1e6, 1),
+            "jvm_gc_ms": int(gc_ms),
+            "py_cpu_s": round(_py_worker_cpu_s(), 1),
+        }
+
     def timed(name: str, fn):
+        m0 = _metrics()
         t0 = time.time()
         r = fn()
         dt = round(time.time() - t0, 2)
-        out["phases"].append({"phase": name, "sec": dt})
-        print(f"{name}: {dt}s", file=sys.stderr)
+        m1 = _metrics()
+        out["phases"].append({
+            "phase": name, "sec": dt,
+            "gc_delta_ms": m1["jvm_gc_ms"] - m0["jvm_gc_ms"],
+            "py_cpu_delta_s": round(m1["py_cpu_s"] - m0["py_cpu_s"], 1),
+            "rdd_cached_after": m1["rdd_cached"],
+            "rdd_mem_mb_after": m1["rdd_mem_mb"],
+            "rdd_disk_mb_after": m1["rdd_disk_mb"],
+        })
+        print(f"{name}: {dt}s  (gc +{m1['jvm_gc_ms']-m0['jvm_gc_ms']}ms, "
+              f"pycpu +{m1['py_cpu_s']-m0['py_cpu_s']:.0f}s, "
+              f"rdds {m1['rdd_cached']} / {m1['rdd_mem_mb']:.0f}MB mem "
+              f"/ {m1['rdd_disk_mb']:.0f}MB disk)", file=sys.stderr)
         return r
 
     state_box: dict = {}
@@ -87,6 +141,14 @@ def main() -> None:
             lambda: alg.connected_components_distributed(state)
             .select("component").distinct().count(),
         )
+
+    # hypothesis probe for the r5 early-block ramp: each dist-CC run's
+    # returned labels (and any still-referenced intermediates) are
+    # checkpointed DataFrames whose JVM-side cleanup waits on CPython
+    # collecting the py4j wrappers — force it and snapshot storage
+    import gc as _pygc
+
+    timed("pygc_collect", _pygc.collect)
 
     # -- middle load: more shuffle-heavy work in the same session ---------
     with aqe_off(spark):
@@ -125,7 +187,10 @@ def main() -> None:
         out["dsu_late_over_early"] <= 1.5 and out["dist_late_over_early"] <= 1.5
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH", "late_session.json"), "w") as f:
+    # r6+: instrumented runs land beside (not over) the round-5 record, so
+    # the old ramp and the diagnosed rerun can be read side by side
+    out_name = os.environ.get("SPARK_GRAFT_LATE_OUT", "late_session_r6.json")
+    with open(os.path.join(repo, "BENCH", out_name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "phases"}))
 

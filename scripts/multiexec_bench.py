@@ -96,8 +96,32 @@ def main() -> None:
     ensure_stream()
     zip_path = "/tmp/gz_pkg.zip"
     build_pkg_zip(zip_path)
-    results = [run_level(n, c, m, zip_path) for n, c, m in LEVELS]
-    by_exec = {r["executors"]: r for r in results}
+    # SPARK_GRAFT_MX_INTERLEAVE=k: run each level k times in ALTERNATING
+    # session order (A,B,A,B,...) instead of once — the round-5 verdict's
+    # variance-reduction ask. VM drift (thermal, host contention) then hits
+    # both levels symmetrically instead of biasing whichever level ran
+    # last; per-level stats pool every timed run across its sessions and
+    # the efficiency is computed from MEDIANS (not pooled best-of-K
+    # selection, which the verdict called out as estimator-shopping).
+    interleave = int(os.environ.get("SPARK_GRAFT_MX_INTERLEAVE", "1"))
+    sequence = [lvl for _ in range(interleave) for lvl in LEVELS]
+    results = [run_level(n, c, m, zip_path) for n, c, m in sequence]
+    by_exec: dict[int, dict] = {}
+    for r in results:
+        e = r["executors"]
+        if e not in by_exec:
+            by_exec[e] = dict(r)
+            by_exec[e]["sessions"] = 1
+        else:
+            pooled = by_exec[e]
+            pooled["ingest_runs_sec"] = pooled["ingest_runs_sec"] + r["ingest_runs_sec"]
+            pooled["sessions"] += 1
+            pooled["ingest_sec"] = min(pooled["ingest_sec"], r["ingest_sec"])
+            pooled["updates_per_sec"] = max(pooled["updates_per_sec"], r["updates_per_sec"])
+    for e, pooled in by_exec.items():
+        rs = sorted(pooled["ingest_runs_sec"])
+        pooled["ingest_median_sec"] = round(rs[len(rs) // 2], 2)
+        pooled["n_timed_runs"] = len(rs)
 
     def eff(lo: int, hi: int) -> float | None:
         if lo not in by_exec or hi not in by_exec:
@@ -107,6 +131,18 @@ def main() -> None:
             by_exec[hi]["updates_per_sec"]
             / by_exec[lo]["updates_per_sec"]
             / scale_up,
+            3,
+        )
+
+    def eff_median(lo: int, hi: int) -> float | None:
+        """Median-based efficiency — the primary estimator from round 6 on
+        (best-of-K remains reported for continuity, not as the headline)."""
+        if lo not in by_exec or hi not in by_exec:
+            return None
+        scale_up = hi / lo
+        return round(
+            by_exec[lo]["ingest_median_sec"]
+            / (scale_up * by_exec[hi]["ingest_median_sec"]),
             3,
         )
 
@@ -126,9 +162,14 @@ def main() -> None:
         "workload": f"kron_{SCALE} ef={EF} insert+delete ingest via spark-submit "
                     "local-cluster (separate executor JVMs), --py-files pkg zip",
         "levels": results,
+        "pooled": {str(e): {k: v for k, v in d.items() if k != "master"}
+                   for e, d in by_exec.items()},
         "runs_per_level": RUNS,
+        "interleaved_sessions_per_level": interleave,
+        "scaling_efficiency_1_to_4_median": eff_median(1, 4),
         "scaling_efficiency_1_to_4_executors": eff(1, 4),
         "scaling_efficiency_1_to_4_band_all_pairings": eff_band(1, 4),
+        "scaling_efficiency_2_to_8_median": eff_median(2, 8),
         "scaling_efficiency_2_to_8_executors": eff(2, 8),
         "scaling_efficiency_2_to_8_band_all_pairings": eff_band(2, 8),
         "hardware_ceiling_note": "ideal-workload ceiling on this VM: 4->16 "

@@ -1,0 +1,108 @@
+"""A/B probe for the round-6 staging fix: pagerank over an UN-persisted
+live-edge aggregation plan vs a caller-persisted one, at kron_19.
+
+Round-5 verdict item 1 ("what's wrong"): pagerank_df ran its size-gate
+count, vertex derivation and bidirect union against the RAW caller plan —
+an un-persisted 143M-update live-edge aggregation was materialized ~3x
+inside pagerank's own setup (108.5s vs 36.6s for x10 iterations). The fix
+(functions/edges.stage_edges) persists the narrow projection first and runs
+every setup scan against the cache, so both arms below should now be equal
+within noise. Runs are INTERLEAVED lazy/persisted (the established A/B
+discipline) with a System.gc between runs; best + all raws recorded in
+BENCH/pagerank_staging.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALE = int(os.environ.get("SPARK_GRAFT_PRP_SCALE", "19"))
+EF = int(os.environ.get("SPARK_GRAFT_PRP_EF", "256"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ITERS = int(os.environ.get("SPARK_GRAFT_PRP_ITERS", "10"))
+ROUNDS = int(os.environ.get("SPARK_GRAFT_PRP_ROUNDS", "2"))  # per arm
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from graphzeppelin_spark import get_spark
+    from graphzeppelin_spark.operators.pagerank import pagerank_df
+
+    spark = get_spark(app_name="gz_prp", cores=CPUS, shuffle_partitions=2 * CPUS)
+    n = 1 << SCALE
+    cache = f"/tmp/gz_bench_kron_{SCALE}_{EF}.parquet"
+    if not os.path.exists(cache):
+        from graphzeppelin_spark.sources.generators import kron_stream_distributed
+
+        t0 = time.time()
+        kron_stream_distributed(spark, scale=SCALE, edge_factor=EF, seed=42).repartition(
+            4 * CPUS
+        ).write.mode("overwrite").parquet(cache)
+        print(f"generated in {time.time() - t0:.0f}s", file=sys.stderr)
+    stream = spark.read.parquet(cache)
+
+    def live_plan():
+        # the expensive lazy aggregation a real caller would hand over
+        return (
+            stream.groupBy("src", "dst")
+            .agg(F.count("*").alias("c"))
+            .groupBy(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .agg(F.sum("c").alias("c"))
+            .where(F.col("c") % 2 == 1)
+            .select("src", "dst")
+        )
+
+    verts = spark.range(n).selectExpr("id as v")
+    lazy_runs: list[float] = []
+    persisted_runs: list[float] = []
+    for r in range(ROUNDS):
+        # arm A: UN-persisted caller plan (the round-5 3x case)
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.time()
+        pr = pagerank_df(live_plan(), vertices=verts, num_iters=ITERS)
+        s = pr.agg(F.sum("score")).collect()[0][0]
+        lazy_runs.append(time.time() - t0)
+        print(f"round {r} lazy: {lazy_runs[-1]:.1f}s (sum {s:.6f})", file=sys.stderr)
+        # arm B: caller pre-persisted (the round-5 fast case)
+        live_p = live_plan().persist()
+        live_p.count()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.time()
+        pr = pagerank_df(live_p, vertices=verts, num_iters=ITERS)
+        pr.agg(F.sum("score")).collect()
+        persisted_runs.append(time.time() - t0)
+        live_p.unpersist()
+        print(f"round {r} persisted: {persisted_runs[-1]:.1f}s", file=sys.stderr)
+
+    out = {
+        "scale": SCALE,
+        "edge_factor": EF,
+        "cpus": CPUS,
+        "pagerank_iters": ITERS,
+        "lazy_input_runs_sec": [round(x, 2) for x in lazy_runs],
+        "persisted_input_runs_sec": [round(x, 2) for x in persisted_runs],
+        "lazy_best_sec": round(min(lazy_runs), 2),
+        "persisted_best_sec": round(min(persisted_runs), 2),
+        "lazy_over_persisted": round(min(lazy_runs) / min(persisted_runs), 3),
+        "note": (
+            "round-5 measured lazy=108.5s vs persisted=36.6s (3x) before the "
+            "stage_edges fix; pass criterion: lazy best <= ~45s and ratio ~1"
+        ),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/pagerank_staging.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
