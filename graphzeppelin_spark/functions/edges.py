@@ -33,9 +33,24 @@ def canonicalize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
 
 def bidirect(edges: DataFrame) -> DataFrame:
     """Each undirected edge as two directed rows — the Spark image of the
-    reference's double gutter insert (graph_sketch_driver.h:171-172)."""
-    return edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    reference's double gutter insert (graph_sketch_driver.h:171-172).
+
+    Implemented as ONE generator (inline of a 2-struct array), not a
+    unionAll of two selects: a union scans the input plan twice per
+    materialization — measured as the residual 0.58-extra-input-scans in
+    BENCH/pagerank_staging.json when the input is an expensive aggregation
+    — while the generator reads each input row once and emits both
+    directions. Same rows, half the input scans, still whole-stage
+    codegen."""
+    return edges.select(
+        F.inline(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        )
     )
 
 
@@ -65,41 +80,32 @@ def stage_edges(
 ):
     """Stage a caller edge plan for an iterative operator: ONE materialization.
 
-    Persists the narrow (src, dst) projection FIRST and runs every setup scan
-    — the size-gate count, bidirection, vertex derivation — against that
-    cache, so an expensive lazy caller plan (e.g. a 143M-row live-edge
-    aggregation at kron_19) is computed exactly once. The previous order
-    (gate count on the raw plan, persist afterwards) re-ran the caller's plan
-    up to 5x during setup: measured 3x wall-clock on pagerank x10 at kron_19
-    (108.5s vs 36.6s, BENCH/kron19.json).
+    Persists the directed-edge table FIRST (bidirect is a single-scan
+    generator, so this is exactly one pass over the caller's plan) and runs
+    every later setup scan — the size-gate count, vertex derivation — on
+    that cache; an expensive lazy caller plan (e.g. a 143M-row live-edge
+    aggregation at kron_19) is computed exactly once. The pre-round-6 order
+    (gate count on the raw plan, persist afterwards, union-based bidirect)
+    re-ran the caller's plan up to 5x during setup: measured 3x wall-clock
+    on pagerank x10 at kron_19 (108.5s vs 36.6s, BENCH/kron19.json; probe
+    BENCH/pagerank_staging.json).
 
-    Returns (staged, narrow, m_directed, big):
-      staged — persisted directed-edge table (bidirected unless `directed`),
-               hash-partitioned on `partition_key` when big (the web-scale
-               partition-once plan; small graphs keep the AQE-coalesced
-               shuffle plan — both effects measured, see pagerank_df);
-      narrow — the persisted raw projection, for deriving vertices from the
-               cache. Call release_narrow(staged, narrow) once every setup
-               action that reads it has run.
-    """
-    narrow = edges.select("src", "dst").persist()
-    m_raw = narrow.count()  # the ONLY scan of the caller's plan
-    m_directed = m_raw if directed else m_raw * 2
+    Returns (staged, m_directed, big): `staged` is the persisted
+    directed-edge table, re-partitioned on `partition_key` when big (the
+    web-scale partition-once plan, a cheap cache-to-cache shuffle; small
+    graphs keep the AQE-coalesced shuffle plan — both effects measured,
+    see pagerank_df). Derive vertices with vertices_of(staged): for the
+    bidirected form it is the same vertex set as the input's, read from
+    cache. Caller owns staged's unpersist."""
+    base = (edges.select("src", "dst") if directed else bidirect(edges)).persist()
+    m_directed = base.count()  # the ONLY scan of the caller's plan
     big = m_directed >= big_threshold
-    base = narrow if directed else bidirect(narrow)
-    if big:
-        base = base.repartition(n_part, partition_key)
-    if base is narrow:  # directed + small: the narrow cache IS the table
-        return narrow, narrow, m_directed, big
-    staged = base.persist()
-    staged.count()  # materialize from narrow's cache, not the raw plan
-    return staged, narrow, m_directed, big
-
-
-def release_narrow(staged: DataFrame, narrow: DataFrame) -> None:
-    """Drop the staging cache from stage_edges once setup scans are done."""
-    if narrow is not staged:
-        narrow.unpersist()
+    if not big:
+        return base, m_directed, False
+    staged = base.repartition(n_part, partition_key).persist()
+    staged.count()  # cache-to-cache exchange, not a raw-plan re-run
+    base.unpersist()
+    return staged, m_directed, True
 
 
 def fits_broadcast(n_rows: int, row_bytes: int, max_bytes: int) -> bool:

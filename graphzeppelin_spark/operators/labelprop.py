@@ -18,9 +18,7 @@ from pyspark.sql import functions as F
 
 from graphzeppelin_spark.functions.edges import (
     fits_broadcast,
-    release_narrow,
     stage_edges,
-    vertices_of,
 )
 
 
@@ -54,15 +52,21 @@ def label_propagation_df(
     # keep the plain AQE-coalesced shuffle plan (per-superstep broadcast
     # construction costs more than it saves there). stage_edges persists the
     # narrow projection BEFORE the gate count — caller's plan runs once.
-    edges_bi, narrow, _m, big_edges = stage_edges(
+    edges_bi, _m, big_edges = stage_edges(
         edges, directed=False, n_part=n_part, big_threshold=big_threshold
     )
-    verts = vertices if vertices is not None else vertices_of(narrow)
+    # bidirected table: every vertex appears as src, so distinct(src) IS the
+    # vertex set — half the scan of vertices_of's src∪dst union (same
+    # observation as pagerank_df's deg-from-outdeg path)
+    verts = (
+        vertices
+        if vertices is not None
+        else edges_bi.select(F.col("src").alias("v")).distinct()
+    )
     labels = verts.select(F.col("v").cast("long"), F.col("v").cast("long").alias("label"))
 
     labels = labels.persist()
     n_verts = labels.count()
-    release_narrow(edges_bi, narrow)  # every setup scan has run
     # labels are two longs per row (16B); same byte-gate helper as pagerank
     broadcast_labels = big_edges and fits_broadcast(n_verts, 16, broadcast_max_bytes)
 

@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 
 from graphzeppelin_spark.functions.edges import (
     fits_broadcast,
-    release_narrow,
     stage_edges,
     vertices_of,
 )
@@ -60,15 +59,11 @@ def pagerank_df(
     #   partitioning COST more than the AQE-coalesced tiny shuffles they
     #   replace (sf0.1 chain regressed 6s → 21s before this gate), so the
     #   plain shuffle plan stays.
-    # stage_edges persists the narrow projection BEFORE the gate count, so
+    # stage_edges persists the directed-edge table BEFORE the gate count, so
     # the caller's (possibly expensive lazy) plan materializes exactly once.
-    directed_edges, narrow, m_directed, big_edges = stage_edges(
+    directed_edges, m_directed, big_edges = stage_edges(
         edges, directed=directed, n_part=n_part, big_threshold=big_threshold
     )
-    verts = (vertices if vertices is not None else vertices_of(narrow)).select(
-        F.col("v").cast("long")
-    )
-    n = verts.count()
 
     # order-independent edge-set fingerprint (count + summed hash), needed
     # only when checkpointing: piggy-backed on the one-time deg
@@ -93,14 +88,26 @@ def pagerank_df(
     # one row per vertex: (v, outdeg or 0); for big graphs, partitioned on v
     # so the per-iteration deg⋈contribs join is co-partitioned with the
     # groupBy(v2) aggregation output (no exchange on either side)
-    deg = verts.join(outdeg, "v", "left").select(
-        "v", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
-    )
+    if vertices is None and not directed:
+        # undirected default universe: EVERY graph vertex appears as src of
+        # the bidirected table, so outdeg's key set IS the vertex set — no
+        # second edge scan, no union+distinct, no join (measured: the
+        # vertices_of distinct over the doubled edge cache was the dominant
+        # setup cost at kron_19, BENCH/pagerank_staging.json)
+        deg = outdeg
+    else:
+        verts = (
+            vertices if vertices is not None else vertices_of(directed_edges)
+        ).select(F.col("v").cast("long"))
+        deg = verts.join(outdeg, "v", "left").select(
+            "v", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
+        )
     if big_edges:
         deg = deg.repartition(n_part, "v")
     deg = deg.persist()
-    deg.count()
-    release_narrow(directed_edges, narrow)  # every setup scan has run
+    # ONE action: materializes deg (and fires the fingerprint observation);
+    # its return value is the vertex count
+    n = deg.count()
 
     store = None
     start_iter = 0

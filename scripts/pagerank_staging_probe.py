@@ -64,6 +64,7 @@ def main() -> None:
     verts = spark.range(n).selectExpr("id as v")
     lazy_runs: list[float] = []
     persisted_runs: list[float] = []
+    mat_runs: list[float] = []
     for r in range(ROUNDS):
         # arm A: UN-persisted caller plan (the round-5 3x case)
         spark.sparkContext._jvm.System.gc()
@@ -72,9 +73,14 @@ def main() -> None:
         s = pr.agg(F.sum("score")).collect()[0][0]
         lazy_runs.append(time.time() - t0)
         print(f"round {r} lazy: {lazy_runs[-1]:.1f}s (sum {s:.6f})", file=sys.stderr)
-        # arm B: caller pre-persisted (the round-5 fast case)
+        # arm B: caller pre-persisted (the round-5 fast case); the persist's
+        # materialization is timed separately — it is the ONE live-agg
+        # compute the lazy arm pays inside its window, so the pass check is
+        # lazy ≈ persisted + live_materialize (exactly one extra scan)
         live_p = live_plan().persist()
+        t0 = time.time()
         live_p.count()
+        mat_runs.append(time.time() - t0)
         spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         pr = pagerank_df(live_p, vertices=verts, num_iters=ITERS)
@@ -90,12 +96,18 @@ def main() -> None:
         "pagerank_iters": ITERS,
         "lazy_input_runs_sec": [round(x, 2) for x in lazy_runs],
         "persisted_input_runs_sec": [round(x, 2) for x in persisted_runs],
+        "live_materialize_runs_sec": [round(x, 2) for x in mat_runs],
         "lazy_best_sec": round(min(lazy_runs), 2),
         "persisted_best_sec": round(min(persisted_runs), 2),
         "lazy_over_persisted": round(min(lazy_runs) / min(persisted_runs), 3),
+        "extra_scans_equiv": round(
+            (min(lazy_runs) - min(persisted_runs)) / min(mat_runs), 2
+        ),
         "note": (
-            "round-5 measured lazy=108.5s vs persisted=36.6s (3x) before the "
-            "stage_edges fix; pass criterion: lazy best <= ~45s and ratio ~1"
+            "round-5 measured lazy=108.5s vs persisted=36.6s (~3 input "
+            "materializations) before the stage_edges fix; pass criterion: "
+            "lazy ≈ persisted + ONE live-agg materialization "
+            "(extra_scans_equiv ≈ 1)"
         ),
     }
     os.makedirs("BENCH", exist_ok=True)
