@@ -67,6 +67,9 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    from graphzeppelin_spark.hostmeter import StealMeter
+
+    bench_meter = StealMeter()  # whole-bench hypervisor-steal covariate
     qs = entrymod.queries()
     times: dict[str, float] = {}
     only_kron = os.environ.get("SPARK_GRAFT_ONLY_KRON") == "1"
@@ -101,12 +104,14 @@ def main() -> None:
             samples_factor=0.5,
             num_partitions=max(2 * cpus, 16) if scale <= 15 else 128,
         )
+        from graphzeppelin_spark.hostmeter import StealMeter
+
         spark.catalog.clearCache()
         # prior blocks leave tenured garbage in the shared local-mode JVM;
         # without an explicit GC a big ingest absorbs multi-second GC pauses
         # (measured 11s isolated vs 30s+ late-session on this VM)
         spark.sparkContext._jvm.System.gc()
-        runs, state = [], None
+        runs, steal_pcts, state = [], [], None
         n_runs = 4 if scale >= 17 else 3  # headline gets one extra sample
         with aqe_off(spark):  # ingest shuffles are few/large/fixed-width
             alg.build_state(stream).count()  # warm-up, untimed
@@ -116,10 +121,15 @@ def main() -> None:
                 # per-run GC: each build_state leaves ~1GB of shuffle/Arrow
                 # garbage; without this, run k pays run k-1's collection
                 spark.sparkContext._jvm.System.gc()
+                meter = StealMeter()
                 t0 = time.time()
                 state = alg.build_state(stream).persist()
                 state.count()
                 runs.append(time.time() - t0)
+                # hypervisor steal% over THIS run's window — the measured
+                # cause of this VM's run-to-run noise (5-19% of machine
+                # capacity over adjacent 10s windows; hostmeter.py)
+                steal_pcts.append(meter.steal_pct())
         ingest_s = min(runs)
         upd_per_sec = n_updates / ingest_s
         log(f"kron_{scale} ingest: {n_updates} updates in {ingest_s:.2f}s "
@@ -150,6 +160,7 @@ def main() -> None:
             "n_updates": int(n_updates),
             "ingest_sec": round(ingest_s, 3),
             "ingest_runs": [round(r, 3) for r in runs],
+            "ingest_steal_pcts": steal_pcts,
             "ingest_median": round(runs_sorted[len(runs_sorted) // 2], 3),
             "updates_per_sec": round(upd_per_sec, 1),
             "cc_sec": round(cc_s, 3),
@@ -195,6 +206,7 @@ def main() -> None:
         "query_runs": query_runs,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cpus": cpus,
+        "bench_steal_pct": bench_meter.steal_pct(),
         "kron": kron15,
         "kron17": kron17,
         "headline_workload": f"kron_{headline['scale']} ef={headline['edge_factor']}",

@@ -101,21 +101,28 @@ def main() -> None:
             "py_cpu_s": round(_py_worker_cpu_s(), 1),
         }
 
+    from graphzeppelin_spark.hostmeter import StealMeter
+
     def timed(name: str, fn):
         m0 = _metrics()
+        meter = StealMeter()
         t0 = time.time()
         r = fn()
         dt = round(time.time() - t0, 2)
         m1 = _metrics()
         out["phases"].append({
             "phase": name, "sec": dt,
+            # hypervisor steal% over this phase (the round-6-measured cause
+            # of the r5 "unexplained ramp": 5-19% live steal on this VM)
+            "steal_pct": meter.steal_pct(),
             "gc_delta_ms": m1["jvm_gc_ms"] - m0["jvm_gc_ms"],
             "py_cpu_delta_s": round(m1["py_cpu_s"] - m0["py_cpu_s"], 1),
             "rdd_cached_after": m1["rdd_cached"],
             "rdd_mem_mb_after": m1["rdd_mem_mb"],
             "rdd_disk_mb_after": m1["rdd_disk_mb"],
         })
-        print(f"{name}: {dt}s  (gc +{m1['jvm_gc_ms']-m0['jvm_gc_ms']}ms, "
+        print(f"{name}: {dt}s  (steal {out['phases'][-1]['steal_pct']}%, "
+              f"gc +{m1['jvm_gc_ms']-m0['jvm_gc_ms']}ms, "
               f"pycpu +{m1['py_cpu_s']-m0['py_cpu_s']:.0f}s, "
               f"rdds {m1['rdd_cached']} / {m1['rdd_mem_mb']:.0f}MB mem "
               f"/ {m1['rdd_disk_mb']:.0f}MB disk)", file=sys.stderr)

@@ -43,6 +43,7 @@ def main() -> None:
 
     import numpy as np
 
+    from graphzeppelin_spark.hostmeter import StealMeter
     from graphzeppelin_spark.operators.pagerank import pagerank_df
     from graphzeppelin_spark.operators.sketch_cc import SketchCC
     from graphzeppelin_spark.session import aqe_off
@@ -59,17 +60,23 @@ def main() -> None:
         "total_cores": total_cores,
         "n_updates": int(n_updates),
     }
+    session_meter = StealMeter()
     with aqe_off(spark):
         alg.build_state(stream).count()  # warm-up (python workers, scan)
-        ingest_runs, state = [], None
+        ingest_runs, ingest_steal, state = [], [], None
         for _ in range(runs):
             if state is not None:
                 state.unpersist()
+            meter = StealMeter()
             t0 = time.time()
             state = alg.build_state(stream).persist()
             state.count()
             ingest_runs.append(time.time() - t0)
+            # hypervisor steal% over THIS run's window: the contention
+            # covariate for the published time (hostmeter.py)
+            ingest_steal.append(meter.steal_pct())
     out["ingest_runs_sec"] = [round(r, 2) for r in ingest_runs]
+    out["ingest_steal_pcts"] = ingest_steal
     out["ingest_sec"] = round(min(ingest_runs), 2)
     out["updates_per_sec"] = round(n_updates / min(ingest_runs), 1)
 
@@ -113,6 +120,7 @@ def main() -> None:
     )
     out["pagerank_x5_sec"] = round(time.time() - t0, 2)
     out["pagerank_score_sum"] = round(float(s), 6)
+    out["session_steal_pct"] = session_meter.steal_pct()
 
     print("RESULT " + json.dumps(out))
     spark.stop()

@@ -241,3 +241,22 @@ def test_labelprop_resume_restores_partitioning(spark, tmp_path):
     )
     rows = resumed.collect()
     assert all(r["label"] == 0 for r in rows) and len(rows) == 40
+
+
+def test_hostmeter_steal_fraction_bounded():
+    """hostmeter reads /proc/stat without error and reports a sane
+    percentage (the contention covariate every bench record now carries)."""
+    import time
+
+    from graphzeppelin_spark.hostmeter import StealMeter, read_cpu_jiffies
+
+    total, steal = read_cpu_jiffies()
+    assert total >= steal >= 0
+    m = StealMeter()
+    time.sleep(0.3)
+    pct = m.steal_pct()
+    # None only on sub-tick windows / non-Linux; here 0.3s >> 1 jiffy
+    assert pct is not None and 0.0 <= pct <= 100.0
+    m.restart()
+    pct2 = m.steal_pct()
+    assert pct2 is None or 0.0 <= pct2 <= 100.0
