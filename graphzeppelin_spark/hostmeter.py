@@ -38,6 +38,43 @@ def read_cpu_jiffies() -> tuple[int, int]:
     return 0, 0
 
 
+def triad_gbps(mb: int = 128, reps: int = 3) -> float | None:
+    """Effective memory bandwidth (GB/s) via a STREAM-triad-style probe.
+
+    Round-6 finding: the cross-session bench drift persists at <1% steal
+    with healthy buddyinfo/free-memory/khugepaged — i.e. the interference
+    is a shared host resource steal cannot see (memory bandwidth / LLC
+    from co-tenants is the standard suspect on multi-tenant hypervisors).
+    This 1-2s single-core probe (a = b + 2c over `mb`-MB float64 arrays,
+    best of `reps`) gives benches a direct bandwidth covariate: a slow
+    triad alongside a slow run and ~0% steal is bandwidth contention;
+    a normal triad alongside a slow run points back at the engine.
+
+    Uses a = b + c as ONE out= ufunc pass (no temp allocation — this VM's
+    measured ~100MB/s fresh-page pathology would swamp the signal); counts
+    3 arrays * 8 bytes/elem of traffic per pass (read b, read c, write a —
+    write-allocate ignored, as in STREAM's convention). Returns None if
+    numpy is unavailable.
+    """
+    try:
+        import numpy as np
+    except ImportError:
+        return None
+    import time
+
+    n = mb * 1024 * 1024 // 8
+    b = np.ones(n)
+    c = np.ones(n)
+    a = np.empty(n)
+    best = float("inf")
+    np.add(b, c, out=a)  # touch every page before timing
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.add(b, c, out=a)
+        best = min(best, time.perf_counter() - t0)
+    return round(3 * n * 8 / best / 1e9, 2)
+
+
 class StealMeter:
     """Measure hypervisor steal fraction over a timed window.
 

@@ -44,6 +44,12 @@ def main() -> None:
     import numpy as np
 
     from graphzeppelin_spark.hostmeter import StealMeter
+
+    try:  # triad probe added mid-round-6; tolerate an older shipped pkg zip
+        from graphzeppelin_spark.hostmeter import triad_gbps
+    except ImportError:
+        def triad_gbps():
+            return None
     from graphzeppelin_spark.operators.pagerank import pagerank_df
     from graphzeppelin_spark.operators.sketch_cc import SketchCC
     from graphzeppelin_spark.session import aqe_off
@@ -59,6 +65,11 @@ def main() -> None:
         "master": sc.master,
         "total_cores": total_cores,
         "n_updates": int(n_updates),
+        # single-core memory-bandwidth covariate at session start: the
+        # cross-session drift shows up at <1% steal, so bandwidth/LLC
+        # contention (invisible to steal) is the remaining suspect — a
+        # drifting session with a drifting triad is host interference
+        "triad_gbps_start": triad_gbps(),
     }
     session_meter = StealMeter()
     with aqe_off(spark):

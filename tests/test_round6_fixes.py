@@ -260,3 +260,10 @@ def test_hostmeter_steal_fraction_bounded():
     m.restart()
     pct2 = m.steal_pct()
     assert pct2 is None or 0.0 <= pct2 <= 100.0
+
+
+def test_triad_probe_positive():
+    from graphzeppelin_spark.hostmeter import triad_gbps
+
+    g = triad_gbps(mb=32, reps=2)
+    assert g is None or g > 0.1
