@@ -56,8 +56,11 @@ def main() -> None:
     alg = SketchCC(spark, num_vertices=n, seed=42, samples_factor=0.5,
                    num_partitions=128)
 
+    from graphzeppelin_spark.hostmeter import triad_gbps
+
     out: dict = {"scale": SCALE, "edge_factor": EF, "cpus": CPUS,
-                 "manual_gc_calls": 0, "phases": []}
+                 "manual_gc_calls": 0, "triad_gbps_start": triad_gbps(),
+                 "phases": []}
 
     # ---- per-phase instrumentation (round-6: name the early-block ramp) --
     # the same instrumentation class that found the round-5 cache-ownership
@@ -168,6 +171,26 @@ def main() -> None:
     verts = spark.range(n).selectExpr("id as v")
     timed("pagerank_x5", lambda: pagerank_df(
         live, vertices=verts, num_iters=5).agg({"score": "sum"}).collect())
+
+    # -- worker-pool rewarm (EXPLICITLY timed, reported separately) -------
+    # Spark's PythonWorkerFactory reaps idle python workers after a
+    # hardcoded 1 minute (cleanupIdleWorkers / IDLE_WORKER_TIMEOUT_NS);
+    # pagerank_x5 above is ~90s of pure-JVM work, so the warm pool dies
+    # during it — measured in the 2026-08-17 run as a NEGATIVE py-worker
+    # CPU delta (-4086 CPU-s: processes holding that much accumulated CPU
+    # vanished) followed by late dsu_cc runs burning 2-4x the python CPU
+    # of their early twins (669 vs 163 CPU-s) rebuilding worker state.
+    # This phase pays the respawn ONCE, visibly: late re-runs then measure
+    # steady-state query latency (what a long-lived deployment sees
+    # between python stages <60s apart), while cold-pool cost is this
+    # phase's own number. Touch every core's worker slot with a trivial
+    # python stage wide enough to fill the pool.
+    def _rewarm():
+        (spark.range(4 * CPUS).repartition(2 * CPUS)
+         .toDF("id").mapInPandas(lambda it: it, "id long").count())
+
+    timed("rewarm_python_pool", _rewarm)
+    timed("rewarm_state_touch", lambda: alg.boruvka(state))
 
     # -- late re-runs of the same queries ---------------------------------
     for i in range(3):
