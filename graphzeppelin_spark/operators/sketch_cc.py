@@ -683,11 +683,20 @@ class SketchCC:
         2. decode endpoints in the JVM, lift them to component ids through
            the label table, dedupe — the round's component multigraph;
         3. contract it: if the sampled edge set fits `remap_driver_bytes`
-           (bounded by actual EDGES collected, never Θ(num_vertices) — the
-           same byte-gate discipline as boruvka()'s driver finish), a numpy
-           DSU computes the (root → new_root) remap in-process; otherwise
-           the exact star-contraction operator (operators/connectivity.py)
-           contracts it distributed;
+           (bounded by actual EDGES collected, never Θ(num_vertices)), a
+           numpy DSU computes the (root → new_root) remap in-process;
+           otherwise the exact star-contraction operator
+           (operators/connectivity.py) contracts it distributed. The gate
+           is deliberately smaller than boruvka()'s 256MB driver-finish
+           gate — the economics differ: this path must collect, solve,
+           RE-UPLOAD the remap and broadcast it into the labels join,
+           while boruvka's finish keeps labels driver-side and uploads
+           nothing. A same-session interleaved A/B at kron_21's
+           5.4M-edge/87MB round-0 multigraph (BENCH/remap_gate_ab.json)
+           measured NO benefit from raising it (64MB: 182/202s; 256MB:
+           396/180s — the spread sits in the Boruvka confirmation passes,
+           identical either way), so the default stays at 64MB, which
+           skips the re-upload+broadcast risk entirely;
         4. one labels checkpoint applies the remap AND carries a per-vertex
            `act` flag (old root sampled non-ZERO). ZERO components have empty
            sketches — no incident cut edges — so they can never merge again
