@@ -104,32 +104,52 @@ def main() -> None:
             samples_factor=0.5,
             num_partitions=max(2 * cpus, 16) if scale <= 15 else 128,
         )
-        from graphzeppelin_spark.hostmeter import StealMeter
-
         spark.catalog.clearCache()
         # prior blocks leave tenured garbage in the shared local-mode JVM;
         # without an explicit GC a big ingest absorbs multi-second GC pauses
         # (measured 11s isolated vs 30s+ late-session on this VM)
         spark.sparkContext._jvm.System.gc()
         runs, steal_pcts, state = [], [], None
+        gated_out: list[dict] = []  # runs discarded by the steal gate
         n_runs = 4 if scale >= 17 else 3  # headline gets one extra sample
+        # Steal gate (round 7): a timed run whose window saw >3% hypervisor
+        # steal is re-taken (bounded: <=2 retries for the whole block, short
+        # idle wait first) — the official number stops being hostage to the
+        # hypervisor's afternoon. Discarded runs are recorded alongside the
+        # kept ones so the record shows what was gated out, not a survivor-
+        # only array.
+        steal_gate_pct = float(os.environ.get("SPARK_GRAFT_STEAL_GATE", "3.0"))
+        retry_budget = 2
         with aqe_off(spark):  # ingest shuffles are few/large/fixed-width
             alg.build_state(stream).count()  # warm-up, untimed
             for _ in range(n_runs):  # best-of-K: this VM's noise is 2-4x run-to-run
-                if state is not None:
-                    state.unpersist()
-                # per-run GC: each build_state leaves ~1GB of shuffle/Arrow
-                # garbage; without this, run k pays run k-1's collection
-                spark.sparkContext._jvm.System.gc()
-                meter = StealMeter()
-                t0 = time.time()
-                state = alg.build_state(stream).persist()
-                state.count()
-                runs.append(time.time() - t0)
-                # hypervisor steal% over THIS run's window — the measured
-                # cause of this VM's run-to-run noise (5-19% of machine
-                # capacity over adjacent 10s windows; hostmeter.py)
-                steal_pcts.append(meter.steal_pct())
+                while True:
+                    if state is not None:
+                        state.unpersist()
+                    # per-run GC: each build_state leaves ~1GB of shuffle/Arrow
+                    # garbage; without this, run k pays run k-1's collection
+                    spark.sparkContext._jvm.System.gc()
+                    meter = StealMeter()
+                    t0 = time.time()
+                    state = alg.build_state(stream).persist()
+                    state.count()
+                    run_s = time.time() - t0
+                    # hypervisor steal% over THIS run's window — the measured
+                    # cause of this VM's run-to-run noise (5-19% of machine
+                    # capacity over adjacent 10s windows; hostmeter.py)
+                    run_steal = meter.steal_pct()
+                    if run_steal > steal_gate_pct and retry_budget > 0:
+                        retry_budget -= 1
+                        gated_out.append(
+                            {"sec": round(run_s, 3), "steal_pct": run_steal}
+                        )
+                        log(f"kron_{scale} run gated out: {run_s:.2f}s at "
+                            f"{run_steal}% steal (> {steal_gate_pct}%), retrying")
+                        time.sleep(10)  # let the co-tenant burst pass
+                        continue
+                    runs.append(run_s)
+                    steal_pcts.append(run_steal)
+                    break
         ingest_s = min(runs)
         upd_per_sec = n_updates / ingest_s
         log(f"kron_{scale} ingest: {n_updates} updates in {ingest_s:.2f}s "
@@ -161,6 +181,8 @@ def main() -> None:
             "ingest_sec": round(ingest_s, 3),
             "ingest_runs": [round(r, 3) for r in runs],
             "ingest_steal_pcts": steal_pcts,
+            "ingest_steal_gate_pct": steal_gate_pct,
+            "ingest_gated_out": gated_out,
             "ingest_median": round(runs_sorted[len(runs_sorted) // 2], 3),
             "updates_per_sec": round(upd_per_sec, 1),
             "cc_sec": round(cc_s, 3),

@@ -52,7 +52,7 @@ def label_propagation_df(
     # keep the plain AQE-coalesced shuffle plan (per-superstep broadcast
     # construction costs more than it saves there). stage_edges persists the
     # narrow projection BEFORE the gate count — caller's plan runs once.
-    edges_bi, _m, big_edges = stage_edges(
+    edges_bi, _, big_edges = stage_edges(
         edges, directed=False, n_part=n_part, big_threshold=big_threshold
     )
     # bidirected table: every vertex appears as src, so distinct(src) IS the

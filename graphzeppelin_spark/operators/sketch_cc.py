@@ -706,6 +706,17 @@ class SketchCC:
            labels table instead of a join against a separately checkpointed
            active set.
 
+        The loop terminates WITHOUT a confirmation round once at most one
+        active component remains: cut edges are symmetric, so a lone active
+        component's only potential merge partners are ZERO-sketched
+        components, which hold no cut edges by definition — a further
+        sampling pass can only return 0 edges. Because the per-round active
+        count is an approx_count_distinct estimate, small estimates (<=4)
+        are confirmed with one exact distinct-count over the checkpointed
+        labels table (cheap) before exiting; at kron_21 this removes two
+        full pruned state scans (~108s of a 192s run) that existed only to
+        observe the inevitable empty sample.
+
         Contracting a k-edge-per-component graph collapses whole merge chains
         in one round, so the sample budget is consumed in ceil(budget/k)
         Spark rounds — at kron_17 this plus the fused active flag and the
@@ -870,11 +881,32 @@ class SketchCC:
             free_local_checkpoint(comp_edges)
             prev_samples = samples
             last_round_merged = True
-            stats.append(
-                {"round": len(stats), "k": k, "n_edges": n_edges,
-                 "active_est": active_est,
-                 "sec": round(_time.time() - t_round, 3)}
-            )
+            round_stat = {"round": len(stats), "k": k, "n_edges": n_edges,
+                          "active_est": active_est,
+                          "sec": round(_time.time() - t_round, 3)}
+            stats.append(round_stat)
+            # Exact early-exit at active <= 1: a lone active component cannot
+            # merge — cut edges are symmetric, so its only possible partners
+            # are ZERO-sketched components, and a ZERO sketch means an empty
+            # cut-edge set by definition. Running another sampling round to
+            # "confirm 0 edges" is therefore provably redundant (measured at
+            # kron_21: 2 full pruned state scans, ~108s of a 192s total, to
+            # recover 6-then-0 edges). active_est is approx_count_distinct
+            # (~2-5% error), so when the estimate is small we pay one cheap
+            # exact distinct-count over the just-checkpointed labels table
+            # before terminating; with >=2 active components a cross merge
+            # is still possible and the loop continues.
+            if active_est <= 4:
+                exact_active = (
+                    labels.where(F.col("act")).select("root").distinct().count()
+                )
+                round_stat["active_exact"] = int(exact_active)
+                if exact_active <= 1:
+                    round_stat["early_exit"] = True
+                    # termination is proved, not budget-bound: suppress the
+                    # exhausted path even if this was the final budgeted round
+                    last_round_merged = False
+                    break
         if prev_samples is not None:
             free_local_checkpoint(prev_samples)
         if gidx >= budget and last_round_merged and (active_est or 0) > 1:

@@ -248,25 +248,61 @@ class GraphStreamDriver:
     def _rebuild_parity(self) -> None:
         """Reconstruct the live-edge parity table from the stream prefix.
 
-        Liveness is 'seen an odd number of times before the watermark' — a
-        pure function of the stream — so a resumed driver does NOT need a
-        persisted side-table: one O(prefix) canonical group-by restores FULL
-        cross-batch validation coverage. Without this, a resumed parity
-        table restarting empty would raise a FALSE 'dead delete' on any
-        legitimate delete of an edge inserted before the checkpoint (it
-        would see was_live=False with net=-1 on a well-formed stream)."""
+        Liveness is 'signed net = +1 before the watermark' (insert +1,
+        delete -1) — a pure function of the stream — so a resumed driver
+        does NOT need a persisted side-table: one O(prefix) canonical
+        group-by restores cross-batch validation coverage. Without this, a
+        resumed parity table restarting empty would raise a FALSE 'dead
+        delete' on any legitimate delete of an edge inserted before the
+        checkpoint (it would see was_live=False with net=-1 on a well-formed
+        stream).
+
+        The rebuild also guards the prefix itself: a per-edge signed net
+        outside {0, 1} (double insert -> +2, dead delete -> -1 overall)
+        raises, so enabling validate_stream first at resume over a prefix
+        that was never validated still rejects a malformed prefix instead
+        of silently folding it into the parity table. (This is net-level,
+        not event-order-level: an in-prefix sequence like insert,insert,
+        delete,delete nets to 0 and passes here, where the from-seq-0
+        driver would have raised at the batch boundary — full event-order
+        coverage of the prefix requires it to have been validated when it
+        was first applied.)"""
         pre = self.stream.where(F.col("seq") < F.lit(self.applied_seq))
-        self._parity = (
+        net = (
             pre.where(F.col("src") != F.col("dst"))
             .select(
                 F.least("src", "dst").alias("lo"),
                 F.greatest("src", "dst").alias("hi"),
+                F.when(F.col("type") == 0, F.lit(1)).otherwise(F.lit(-1)).alias(
+                    "sign"
+                ),
             )
             .groupBy("lo", "hi")
-            .agg((F.count(F.lit(1)) % 2).alias("_p"))
-            .where(F.col("_p") == 1)
+            .agg(F.sum("sign").alias("net"))
+        )
+        bad = ~F.col("net").isin(0, 1)
+        self._parity = (
+            net.select(
+                "lo",
+                "hi",
+                F.when(
+                    bad,
+                    F.raise_error(
+                        F.concat(
+                            F.lit("malformed stream prefix at resume: edge ("),
+                            F.col("lo").cast("string"),
+                            F.lit(","),
+                            F.col("hi").cast("string"),
+                            F.lit(") has signed net "),
+                            F.col("net").cast("string"),
+                            F.lit(" (expected 0 or 1)"),
+                        )
+                    ).cast("long"),
+                ).otherwise(F.col("net")).alias("net"),
+            )
+            .where(F.col("net") == 1)
             .select("lo", "hi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)  # raises here on a malformed prefix
         )
 
     def _eager_maintain(self, batch: DataFrame) -> None:

@@ -124,9 +124,18 @@ def main() -> None:
           f"{out['cc_paths_agree']}", file=sys.stderr)
 
     out["driver_peak_rss_mb"] = _vm_hwm_kb(os.getpid()) // 1024
+    def _comm(pid: str) -> str:
+        # a process can exit between listdir and the read — skip it rather
+        # than crash the probe after hours of benchmarking (same pattern as
+        # _vm_hwm_kb)
+        try:
+            with open(f"/proc/{pid}/comm") as fh:
+                return fh.read().strip()
+        except OSError:
+            return ""
+
     jvm = [int(p) for p in os.listdir("/proc") if p.isdigit()
-           and os.path.exists(f"/proc/{p}/comm")
-           and open(f"/proc/{p}/comm").read().strip() == "java"]
+           and _comm(p) == "java"]
     if jvm:
         out["jvm_peak_rss_mb"] = max(_vm_hwm_kb(p) for p in jvm) // 1024
 

@@ -152,9 +152,14 @@ def main() -> None:
 
     def eff_pairs(lo: int, hi: int) -> list[float] | None:
         """PRIMARY (round 6): efficiency per interleaved session PAIR —
-        each adjacent (lo, hi) session pair shares an ~8-minute window, so
-        monotone host drift cancels in the ratio; the ratio uses each
-        session's own median-of-runs. Published as the full array + median."""
+        the ratio uses each session's own median-of-runs, pairing the i-th
+        lo session with the i-th hi session. Drift-cancellation (the pair
+        sharing one short window) holds exactly only for a TWO-level EXECS
+        list (e.g. "1,4"); with the default 1,2,4,8 sequence the (1,4) pair
+        is separated by the interposed 2-exec session, so run the two-level
+        form when the pair ratio is the headline. Returns None when the
+        lo/hi session counts differ (rank pairing would be meaningless).
+        Published as the full array + median."""
         lo_meds = [
             sorted(r["ingest_runs_sec"])[len(r["ingest_runs_sec"]) // 2]
             for r in results
@@ -182,6 +187,8 @@ def main() -> None:
         )
         return [round(ratios[0], 3), round(ratios[-1], 3)]
 
+    pairs_1_4 = eff_pairs(1, 4)
+    pairs_2_8 = eff_pairs(2, 8)
     out = {
         "workload": f"kron_{SCALE} ef={EF} insert+delete ingest via spark-submit "
                     "local-cluster (separate executor JVMs), --py-files pkg zip",
@@ -190,17 +197,13 @@ def main() -> None:
                    for e, d in by_exec.items()},
         "runs_per_level": RUNS,
         "interleaved_sessions_per_level": interleave,
-        "scaling_efficiency_1_to_4_per_pair": eff_pairs(1, 4),
+        "scaling_efficiency_1_to_4_per_pair": pairs_1_4,
         "scaling_efficiency_1_to_4_pair_median": (
-            sorted(eff_pairs(1, 4))[len(eff_pairs(1, 4)) // 2]
-            if eff_pairs(1, 4)
-            else None
+            sorted(pairs_1_4)[len(pairs_1_4) // 2] if pairs_1_4 else None
         ),
-        "scaling_efficiency_2_to_8_per_pair": eff_pairs(2, 8),
+        "scaling_efficiency_2_to_8_per_pair": pairs_2_8,
         "scaling_efficiency_2_to_8_pair_median": (
-            sorted(eff_pairs(2, 8))[len(eff_pairs(2, 8)) // 2]
-            if eff_pairs(2, 8)
-            else None
+            sorted(pairs_2_8)[len(pairs_2_8) // 2] if pairs_2_8 else None
         ),
         "scaling_efficiency_1_to_4_median": eff_median(1, 4),
         "scaling_efficiency_1_to_4_executors": eff(1, 4),
