@@ -70,20 +70,30 @@ def main() -> None:
                  "n_updates": int(n_updates), "cpus": CPUS,
                  "num_samples": alg.geom.num_samples}
 
+    from graphzeppelin_spark.hostmeter import StealMeter
+
+    ingest_steal = []
     with aqe_off(spark):
+        meter = StealMeter()
         t0 = time.time()
         state = alg.build_state(stream).persist()
         state.count()
         out["ingest_first_sec"] = round(time.time() - t0, 2)
+        ingest_steal.append(meter.steal_pct())
         ingest_runs = [out["ingest_first_sec"]]
         for _ in range(max(RUNS - 1, 0)):
             state.unpersist()
             spark.sparkContext._jvm.System.gc()
+            meter = StealMeter()
             t0 = time.time()
             state = alg.build_state(stream).persist()
             state.count()
             ingest_runs.append(round(time.time() - t0, 2))
+            ingest_steal.append(meter.steal_pct())
     out["ingest_runs_sec"] = ingest_runs
+    # per-run hypervisor steal% (record discipline: every timed number
+    # carries its contention covariate — BENCH_r06/multiexec format)
+    out["ingest_steal_pcts"] = ingest_steal
     out["ingest_sec"] = min(ingest_runs)
     out["updates_per_sec"] = round(n_updates / min(ingest_runs), 1)
     out["state_rows"] = int(state.count())
@@ -105,17 +115,20 @@ def main() -> None:
           f"{out['n_components']} components", file=sys.stderr)
 
     # distributed-labels path with per-round stats
-    dist_runs = []
+    dist_runs, dist_steal = [], []
     for i in range(RUNS):
+        meter = StealMeter()
         t0 = time.time()
         dcc = alg.connected_components_distributed(state, complete=True)
         n_comp = int(dcc.select("component").distinct().count())
         dist_runs.append(round(time.time() - t0, 2))
+        dist_steal.append(meter.steal_pct())
         if i == 0:
             out["distributed_round_stats"] = alg.last_distributed_stats["rounds"]
             out["distributed_budget_exhausted"] = alg.last_distributed_stats["exhausted"]
             out["distributed_cc_components"] = n_comp
     out["distributed_cc_runs_sec"] = dist_runs
+    out["distributed_cc_steal_pcts"] = dist_steal
     out["distributed_cc_sec"] = min(dist_runs)
     out["cc_paths_agree"] = out["distributed_cc_components"] == out["n_components"]
     out["dist_over_dsu"] = round(out["distributed_cc_sec"] / out["dsu_cc_sec"], 2)

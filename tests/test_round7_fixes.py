@@ -26,7 +26,7 @@ import pytest
 from graphzeppelin_spark import oracle
 from graphzeppelin_spark.operators.sketch_cc import SketchCC
 from graphzeppelin_spark.sources.generators import path_graph_stream
-from tests.conftest import stream_df
+from tests.conftest import edges_df, stream_df
 
 
 def _stream_df(spark, rows):
@@ -175,6 +175,49 @@ def test_rebuild_parity_accepts_wellformed_prefix(spark, tmp_path):
     live = {(r["lo"], r["hi"]) for r in resumed._parity.collect()}
     assert live == {(1, 2)}
     resumed.process_stream_until(6)  # the legit delete must pass validation
+
+
+# --------------------------------------------- planted-hub triangle counting
+
+
+def test_triangle_csr_planted_hub(spark):
+    """Power-law safety of the CSR triangle path (round-6 verdict #5): the
+    degree-ordered orientation must bound per-task work at a hub. Star hub
+    0 -> {1..200} plus path edges (i, i+1): raw hub degree is 200, but every
+    hub edge orients AWAY from the hub's adjacency list (toward the higher-
+    (degree,id) endpoint — the hub), so the max oriented out-degree stays
+    O(1) and the wedge count is sum_u C(out(u), 2), not C(200, 2)."""
+    from pyspark.sql import functions as F
+
+    from graphzeppelin_spark.operators.adjacency import (
+        triangle_count_csr,
+        wedges_csr,
+    )
+    from graphzeppelin_spark.operators.triangles import (
+        _oriented,
+        triangle_count_df,
+    )
+
+    hub_edges = [(0, i) for i in range(1, 201)]
+    path_edges = [(i, i + 1) for i in range(1, 200)]
+    arr = np.array(
+        [(min(a, b), max(a, b)) for a, b in hub_edges + path_edges],
+        dtype=np.int64,
+    )
+    edges = edges_df(spark, arr)
+
+    o = _oriented(edges)
+    max_out = o.groupBy("u").count().agg(F.max("count")).collect()[0][0]
+    assert max_out <= 3  # hub's 200 raw edges never land in one out-list
+
+    outdeg = {r["u"]: r["count"] for r in o.groupBy("u").count().collect()}
+    expected_wedges = sum(c * (c - 1) // 2 for c in outdeg.values())
+    assert wedges_csr(edges).count() == expected_wedges
+
+    # each path edge (i, i+1) closes the hub wedge (i, i+1, apex 0)
+    n_csr = triangle_count_csr(edges).collect()[0]["n_triangles"]
+    n_join = triangle_count_df(edges).collect()[0]["n_triangles"]
+    assert n_csr == n_join == 199
 
 
 # ------------------------------------------------- Iceberg-backed retry test
