@@ -102,9 +102,66 @@ def wedges_csr(edges: DataFrame, num_partitions: int | None = None) -> DataFrame
     return o.mapInPandas(_gen, schema=WEDGE_SCHEMA)
 
 
-def triangle_count_csr(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Triangle count via CSR-blocked wedge generation + closure semi-join.
-    Same result as triangles.triangle_count_df; different physical strategy."""
+def triangle_count_csr(
+    edges: DataFrame,
+    num_partitions: int | None = None,
+    broadcast_max_edges: int = 64_000_000,
+) -> DataFrame:
+    """Triangle count via CSR-blocked wedge generation. Same result as
+    triangles.triangle_count_df; different physical strategy.
+
+    Closure check, two regimes (the round-7 kron_17 probe made the choice
+    measurable — BENCH/triangle_skew.json): the wedge set is ~sum_u
+    C(out(u),2), 1.75e9 rows for kron_17's 10.5M edges, so EXPORTING the
+    wedges (Arrow transfer + exchange + semi-join) costs more than
+    generating them — the relational join path beat the wedge-exporting
+    CSR path 247s vs 491s. When the edge set fits a broadcast
+    (`broadcast_max_edges`, 64M edges = 512MB packed — far beyond any
+    single partition's wedge working set but bounded so a 10^12-edge run
+    falls back), the wedges therefore never leave numpy: each task checks
+    closure with a vectorized searchsorted against the broadcast sorted
+    packed-eid array and emits ONE count per partition — output is
+    O(partitions), not O(wedges), and the whole count is wedge-gen +
+    log2(m) binary probes, all in-task. Above the gate: the distributed
+    semi-join (the only O(wedges) exchange Spark can shuffle-partition,
+    i.e. the honest fallback at web scale)."""
+    m = edges.count()
+    if m <= broadcast_max_edges:
+        pdf = edges.select("src", "dst").toPandas()
+        s = pdf["src"].to_numpy(np.int64)
+        d = pdf["dst"].to_numpy(np.int64)
+        packable = len(s) == 0 or (
+            s.min() >= 0 and d.min() >= 0 and s.max() < 2**31 and d.max() < 2**32
+        )
+        if packable:
+            spark = edges.sparkSession
+            # canonical (src<dst) packed as (src<<32)|dst — one sorted
+            # int64 array, shipped once per executor
+            eids = np.sort((s << 32) + d)
+            bc = spark.sparkContext.broadcast(eids)
+            o = _oriented(edges)
+            o = (o.repartition(num_partitions, "u") if num_partitions
+                 else o.repartition("u"))
+
+            def _count(batches):
+                table = bc.value
+                total = 0
+                pdfs = list(batches)
+                if pdfs and len(table):
+                    bpdf = (pd.concat(pdfs, ignore_index=True)
+                            if len(pdfs) > 1 else pdfs[0])
+                    u = bpdf["u"].to_numpy(np.int64)
+                    w = bpdf["w"].to_numpy(np.int64)
+                    uniq, indptr, indices = _csr_from_pairs(u, w)
+                    v1, v2, _ = _wedges_from_csr(uniq, indptr, indices)
+                    probe = (v1 << 32) + v2
+                    pos = np.searchsorted(table, probe)
+                    valid = pos < len(table)
+                    total = int((table[pos[valid]] == probe[valid]).sum())
+                yield pd.DataFrame({"n": [total]})
+
+            per_part = o.mapInPandas(_count, schema="n long")
+            return per_part.agg(F.sum("n").alias("n_triangles"))
     w = wedges_csr(edges, num_partitions)
     closing = edges.select(F.col("src").alias("v1"), F.col("dst").alias("v2"))
     return (

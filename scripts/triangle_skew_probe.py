@@ -92,10 +92,19 @@ def main() -> None:
     deg.unpersist()
     o.unpersist()
 
-    for name, fn in (("csr", lambda: triangle_count_csr(live, 128)),
-                     ("join", lambda: triangle_count_df(live))):
+    # three physical strategies for the same count: broadcast-closure CSR
+    # (wedges never exported — per-partition searchsorted counts), the
+    # wedge-exporting CSR semi-join (the >64M-edge fallback), and the
+    # relational self-join
+    paths = (
+        ("csr_bcast", 2, lambda: triangle_count_csr(live, 128)),
+        ("csr_semijoin", 1,
+         lambda: triangle_count_csr(live, 128, broadcast_max_edges=0)),
+        ("join", 1, lambda: triangle_count_df(live)),
+    )
+    for name, n_runs, fn in paths:
         runs = []
-        for _ in range(2):
+        for _ in range(n_runs):
             meter = StealMeter()
             t0 = time.time()
             cnt = fn().collect()[0]["n_triangles"]
@@ -105,7 +114,10 @@ def main() -> None:
         out[f"{name}_sec"] = min(runs)
         out[f"{name}_steal_pct"] = meter.steal_pct()
         print(f"{name}: {cnt} triangles in {min(runs)}s", file=sys.stderr)
-    out["paths_agree"] = out["triangles_csr"] == out["triangles_join"]
+    out["paths_agree"] = (
+        out["triangles_csr_bcast"] == out["triangles_csr_semijoin"]
+        == out["triangles_join"]
+    )
     live.unpersist()
 
     with open(os.path.join(REPO, "BENCH", "triangle_skew.json"), "w") as f:

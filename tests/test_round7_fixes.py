@@ -214,10 +214,14 @@ def test_triangle_csr_planted_hub(spark):
     expected_wedges = sum(c * (c - 1) // 2 for c in outdeg.values())
     assert wedges_csr(edges).count() == expected_wedges
 
-    # each path edge (i, i+1) closes the hub wedge (i, i+1, apex 0)
+    # each path edge (i, i+1) closes the hub wedge (i, i+1, apex 0);
+    # both CSR regimes (broadcast-closure and the wedge-exporting
+    # semi-join fallback) must agree with the relational path
     n_csr = triangle_count_csr(edges).collect()[0]["n_triangles"]
+    n_csr_sj = triangle_count_csr(
+        edges, broadcast_max_edges=0).collect()[0]["n_triangles"]
     n_join = triangle_count_df(edges).collect()[0]["n_triangles"]
-    assert n_csr == n_join == 199
+    assert n_csr == n_csr_sj == n_join == 199
 
 
 # ------------------------------------------------- Iceberg-backed retry test
