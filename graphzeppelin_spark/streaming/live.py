@@ -110,22 +110,38 @@ class LiveGraphStream:
             return
         if batch_df.isEmpty():
             return
-        delta = self.alg.build_state(batch_df)
-        new_state = (
-            delta if self.state is None else self.alg.merge_states(self.state, delta)
-        )
-        new_state = new_state.localCheckpoint(eager=True)
-        if self.store is not None:
-            self.store.commit(
-                new_state,
-                {
-                    "seed": self._seed,
-                    "num_vertices": self.num_vertices,
-                    "variant": self._variant,
-                    "seq_watermark": -1,  # live mode: ordering comes from the source
-                    "stream_batch_id": int(batch_id),
-                },
+        from graphzeppelin_spark.session import aqe_off
+
+        # Same two disciplines as the batch driver's _apply_batch, which the
+        # round-7 kron_17 live bench showed this path was missing (per-wave
+        # fold cost grew 21 -> 126 -> 310s across 4 equal waves, and a
+        # restarted instance whose state came from the store's parquet ran
+        # the SAME next wave in 215s): (1) the ingest merge's shuffles are
+        # few/large/fixed-width — AQE off for the materializing action;
+        # (2) after a store commit, adopt the state read back FROM the
+        # store, so the working state's lineage is a clean parquet scan
+        # instead of an ever-deepening merge-over-localCheckpoint chain
+        # whose in-JVM blocks compound memory pressure wave over wave.
+        with aqe_off(self.spark):
+            delta = self.alg.build_state(batch_df)
+            new_state = (
+                delta if self.state is None
+                else self.alg.merge_states(self.state, delta)
             )
+            if self.store is not None:
+                snap = self.store.commit(
+                    new_state,
+                    {
+                        "seed": self._seed,
+                        "num_vertices": self.num_vertices,
+                        "variant": self._variant,
+                        "seq_watermark": -1,  # live mode: source supplies order
+                        "stream_batch_id": int(batch_id),
+                    },
+                )
+                new_state, _ = self.store.read(snap)  # clean lineage from disk
+            else:
+                new_state = new_state.localCheckpoint(eager=True)
         if self.state is not None:
             self.state.unpersist()
             free_local_checkpoint(self.state)

@@ -177,6 +177,40 @@ def test_rebuild_parity_accepts_wellformed_prefix(spark, tmp_path):
     resumed.process_stream_until(6)  # the legit delete must pass validation
 
 
+# ------------------------------------------------ live fold lineage adoption
+
+
+def test_live_fold_adopts_store_lineage(spark, tmp_path):
+    """Round-7 kron_17 live bench finding: LiveGraphStream kept the working
+    state as a merge-over-localCheckpoint chain, so equal-sized waves cost
+    21 -> 126 -> 310s while a restarted instance (state from the store's
+    parquet) ran the next wave in 215s. The fold must adopt the state read
+    back from the store — a clean parquet-scan plan — exactly as the batch
+    driver's _apply_batch does."""
+    from graphzeppelin_spark.sources.generators import dynamic_erdos_stream
+    from graphzeppelin_spark.streaming.live import LiveGraphStream
+
+    n = 64
+    s = dynamic_erdos_stream(num_vertices=n, density=0.05, rounds=2, seed=9)
+    half = len(s) // 2
+    src_dir = str(tmp_path / "incoming")
+    live = LiveGraphStream(
+        spark, src_dir, num_vertices=n,
+        stream_checkpoint_dir=str(tmp_path / "stream_ckpt"),
+        state_checkpoint_dir=str(tmp_path / "state_ckpt"), seed=5,
+    )
+    for part in (s.iloc[:half], s.iloc[half:].reset_index(drop=True)):
+        stream_df(spark, part).write.mode("append").parquet(src_dir)
+        live.process_available()
+        plan = live.state._jdf.queryExecution().analyzed().toString()
+        assert "LogicalRDD" not in plan  # not a localCheckpoint chain
+        assert "parquet" in plan.lower()  # the store's own files
+    exp = oracle.connected_components(oracle.live_edges(s, n), n)
+    np.testing.assert_array_equal(live.connected_components(), exp)
+    if live.state is not None:
+        live.state.unpersist()
+
+
 # --------------------------------------------- planted-hub triangle counting
 
 
