@@ -309,7 +309,7 @@ def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     num_tables: int = 8,
-    num_planes: int = 8,
+    num_planes: int | None = 8,
     seed: int = 42,
     brute_force: bool = False,
 ) -> DataFrame:
@@ -338,8 +338,18 @@ def embedding_neardup_pairs(
     if brute_force:
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
-        from graphzeppelin_spark.operators.similarity import lsh_buckets
+        from graphzeppelin_spark.operators.similarity import (
+            auto_num_planes,
+            lsh_buckets,
+        )
 
+        if num_planes is None:
+            # occupancy-aware plane count (round-7 scale probe: fixed 8
+            # planes -> 90x candidate growth at a 10x corpus; see
+            # auto_num_planes). Recall per table falls as planes grow, so
+            # pair this with more tables at very high plane counts if the
+            # threshold is below ~0.95.
+            num_planes = auto_num_planes(embeddings.count())
         bk = lsh_buckets(embeddings, num_tables=num_tables, num_planes=num_planes, seed=seed)
         ca = bk.select(F.col("vec_id").alias("id_a"), "table", "bucket")
         cb = bk.select(F.col("vec_id").alias("id_b"), "table", "bucket")

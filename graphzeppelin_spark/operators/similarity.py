@@ -98,6 +98,24 @@ _BUCKET_SCHEMA = T.StructType(
 )
 
 
+def auto_num_planes(n_vectors: int, target_bucket: int = 32,
+                    lo: int = 8, hi: int = 24) -> int:
+    """Hyperplane count keeping expected bucket occupancy ~target_bucket.
+
+    Fixed plane counts saturate: 2^planes buckets per table, so candidate
+    pairs per bucket grow quadratically once n >> 2^planes * target — the
+    round-7 scale probe measured 90x candidate growth at a 10x corpus with
+    8 planes (BENCH/dedup_scale.json). 2^planes ~= n / target keeps
+    per-bucket occupancy (and so per-query candidate cost) ~constant as
+    the corpus grows — the 100TB knob. Resolve ONCE per operator call from
+    the CORPUS side and pass the concrete value everywhere (queries bucketed
+    with a different plane count land in a different hash space)."""
+    import math
+
+    return max(lo, min(hi, math.ceil(
+        math.log2(max(n_vectors, 1) / target_bucket + 1))))
+
+
 def lsh_buckets(
     embeddings: DataFrame, num_tables: int = 8, num_planes: int = 10, seed: int = 42
 ) -> DataFrame:
@@ -248,7 +266,7 @@ def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     nprobe: int = 4,
     seed: int = 42,
     round_digits: int = 4,
@@ -256,7 +274,18 @@ def ivf_topk(
     """Approximate top-k via an IVF (inverted-file) index: corpus vectors
     bucketed by nearest centroid, queries probe their nprobe nearest lists,
     exact cosine rerank computed on the candidate pairs only. The scale
-    path's candidate set is ~nprobe/n_centroids of the corpus per query."""
+    path's candidate set is ~nprobe/n_centroids of the corpus per query.
+
+    n_centroids=None auto-sizes to ~sqrt(n) (clamped [16, 4096]) — the
+    standard IVF balance: per-query candidates ~ nprobe*sqrt(n) instead of
+    growing linearly with the corpus at a fixed list count (the round-7
+    scale probe measured 25x candidate growth at a 10x corpus with the
+    count held fixed, BENCH/dedup_scale.json)."""
+    if n_centroids is None:
+        import math
+
+        n_corpus = embeddings.count()
+        n_centroids = max(16, min(4096, math.ceil(math.sqrt(n_corpus))))
     cent = ivf_train_centroids(embeddings, n_centroids=n_centroids, seed=seed)
     corpus_lists = _ivf_assign(embeddings, cent, 1, "neighbor_id")
     query_probes = _ivf_assign(queries, cent, nprobe, "query_id")
@@ -274,13 +303,17 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     num_tables: int = 8,
-    num_planes: int = 10,
+    num_planes: int | None = 10,
     seed: int = 42,
     round_digits: int = 4,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in any table, then
     exact cosine on the candidate pairs + window top-k. Recall grows with
-    num_tables."""
+    num_tables; num_planes=None auto-sizes bucket occupancy to the corpus
+    (auto_num_planes), resolved ONCE here so corpus and queries hash with
+    the same planes."""
+    if num_planes is None:
+        num_planes = auto_num_planes(embeddings.count())
     cb = lsh_buckets(embeddings, num_tables, num_planes, seed)
     qb = lsh_buckets(queries, num_tables, num_planes, seed).select(
         F.col("vec_id").alias("query_id"), "table", "bucket"

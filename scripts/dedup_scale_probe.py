@@ -46,8 +46,19 @@ SIZES = [int(s) for s in os.environ.get(
 
 
 def make_docs(n_docs: int, seed: int = 7) -> pd.DataFrame:
-    """n_docs documents in GROUP-sized near-dup groups, deterministic."""
+    """n_docs documents in GROUP-sized near-dup groups, deterministic.
+
+    Words are random 8-LETTER strings, not numbered tokens: the dedup
+    shingles are character 3-grams, and a digit-heavy vocabulary ("w00123")
+    collapses the shingle alphabet to ~1.3k trigrams, giving RANDOM doc
+    pairs Jaccard ~0.25 and a quadratic band-collision blowup that says
+    nothing about the operator (the first probe run measured exactly that
+    and filled the disk at 50k docs). Alphabetic words give a diverse
+    trigram space, so candidate growth reflects the planted dup structure."""
     rng = np.random.default_rng(seed)
+    letters = rng.integers(0, 26, size=(VOCAB, 8))
+    vocab = np.array(
+        ["".join(chr(97 + c) for c in row) for row in letters])
     n_orig = n_docs // GROUP
     base = rng.integers(0, VOCAB, size=(n_orig, DOC_TOKENS))
     rows_id, rows_tx = [], []
@@ -61,7 +72,7 @@ def make_docs(n_docs: int, seed: int = 7) -> pd.DataFrame:
         rows_tx.append(toks)
     ids = np.concatenate(rows_id)
     toks = np.vstack(rows_tx)
-    texts = [" ".join(f"w{t:05d}" for t in row) for row in toks]
+    texts = [" ".join(vocab[t] for t in row) for row in toks]
     return pd.DataFrame({"doc_id": ids, "text": texts})
 
 
@@ -156,9 +167,19 @@ def main() -> None:
         bk = lsh_buckets(emb).persist()
         entry["emb_lsh_fanout_pairs"] = bucket_fanout(bk, ["table", "bucket"])
         bk.unpersist()
+        # occupancy-aware plane count (auto_num_planes): the linear-growth
+        # counterpart to the fixed-8-plane fan-out above
+        from graphzeppelin_spark.operators.similarity import auto_num_planes
+
+        planes_auto = auto_num_planes(n_vec)
+        entry["emb_lsh_auto_planes"] = planes_auto
+        bka = lsh_buckets(emb, num_planes=planes_auto).persist()
+        entry["emb_lsh_auto_fanout_pairs"] = bucket_fanout(
+            bka, ["table", "bucket"])
+        bka.unpersist()
         t0 = time.time()
         entry["emb_lsh_neardup_pairs"] = embedding_neardup_pairs(
-            emb, threshold=0.95).count()
+            emb, threshold=0.95, num_planes=None).count()
         entry["emb_lsh_full_sec"] = round(time.time() - t0, 2)
 
         # IVF candidate fan-out: probes(4) x corpus lists joined on centroid
@@ -194,7 +215,8 @@ def main() -> None:
         r = e["n_docs"] / s0["n_docs"]
         e["size_ratio"] = r
         for k in ("minhash_band_fanout_pairs", "simhash_band_fanout_pairs",
-                  "emb_lsh_fanout_pairs", "ivf_candidate_pairs"):
+                  "emb_lsh_fanout_pairs", "emb_lsh_auto_fanout_pairs",
+                  "ivf_candidate_pairs"):
             if s0.get(k):
                 e[f"{k}_growth"] = round(e[k] / s0[k], 2)
     with open(os.path.join(REPO, "BENCH", "dedup_scale.json"), "w") as f:
