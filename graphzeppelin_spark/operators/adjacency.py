@@ -161,7 +161,12 @@ def triangle_count_csr(
                 yield pd.DataFrame({"n": [total]})
 
             per_part = o.mapInPandas(_count, schema="n long")
-            return per_part.agg(F.sum("n").alias("n_triangles"))
+            # coalesce: Spark's empty-relation propagation elides the
+            # mapInPandas rows for an empty edge set, and sum over zero rows
+            # is null — the count must be 0 there (matches triangle_count_df)
+            return per_part.agg(
+                F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("n_triangles")
+            )
     w = wedges_csr(edges, num_partitions)
     closing = edges.select(F.col("src").alias("v1"), F.col("dst").alias("v2"))
     return (

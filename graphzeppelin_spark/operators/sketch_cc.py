@@ -47,21 +47,49 @@ from graphzeppelin_spark.sketch.kernel import (
     SketchGeometry,
     SketchMatrix,
     decode_edges,
+    decode_group_rows,
+    encode_group_rows,
 )
 
+# State layout (round 8): det = the 16-byte deterministic bucket dense;
+# grp[g] = sample group g's buckets as a sparse blob (kernel.encode_group_rows).
+# Sample groups are contiguous bucket ranges, so a Boruvka round's column
+# pruning (the reference's range_merge, sketch.cpp:156-179) is a JVM-side
+# `slice(grp, lo, k)` — only the round's k/num_samples of the state bytes
+# cross the JVM->Python Arrow boundary. The old single-blob layout shipped
+# every row's FULL sketch and pruned in Python: the transfer dominated
+# (440MB/round at kron_17 for a 1-group round that needed 37MB).
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("vertex", T.LongType(), False),
-        T.StructField("sketch", T.BinaryType(), False),
+        T.StructField("det", T.BinaryType(), False),
+        T.StructField("grp", T.ArrayType(T.BinaryType(), False), False),
     ]
 )
 
+# per-(map partition, root) partial sums, same grouped-sparse layout — the
+# groupBy(root) exchange ships sparse slices, never dense blobs
+GROUPED_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("root", T.LongType(), False),
+        T.StructField("det", T.BinaryType(), False),
+        T.StructField("grp", T.ArrayType(T.BinaryType(), False), False),
+    ]
+)
+
+# driver-finish collect rows: one DENSE flattened slice per component (the
+# driver parses these straight into the numpy accumulator)
 PARTIAL_SCHEMA = T.StructType(
     [
         T.StructField("root", T.LongType(), False),
         T.StructField("sketch", T.BinaryType(), False),
     ]
 )
+
+# sample groups collected per driver-finish batch (see _finish_driver_side):
+# small enough that one batch's reduce ships ~1/4 of the old all-remaining
+# width, large enough that one batch almost always converges the tail
+FINISH_BATCH_GROUPS = 3
 
 SAMPLE_SCHEMA = T.StructType(
     [
@@ -206,10 +234,19 @@ class SketchCC:
         vectorized JVM code either way."""
         n = self.num_vertices
         canon = self._canonical_updates(stream)
-        seid = (F.col("sign") * (F.col("lo") * F.lit(n) + F.col("hi"))).alias("seid")
-        nseid = (-F.col("sign") * (F.col("lo") * F.lit(n) + F.col("hi"))).alias("seid")
-        both = canon.select(F.col("lo").alias("vertex"), seid).unionAll(
-            canon.select(F.col("hi").alias("vertex"), nseid)
+        seid = F.col("sign") * (F.col("lo") * F.lit(n) + F.col("hi"))
+        # ONE generator scan (inline of a 2-struct array), not a unionAll of
+        # two selects: the union form scanned the stream parquet (and computed
+        # the canonicalization) twice per materialization — the same lesson as
+        # functions/edges.bidirect, applied to the ingest hot path (measured
+        # ~0.25s of the kron_17 exchange stage at local[32])
+        both = canon.select(
+            F.inline(
+                F.array(
+                    F.struct(F.col("lo").alias("vertex"), seid.alias("seid")),
+                    F.struct(F.col("hi").alias("vertex"), (-seid).alias("seid")),
+                )
+            )
         )
         part = both.repartition(self.num_partitions, "vertex")
         net = part.groupBy("vertex", F.abs("seid").alias("eid")).agg(
@@ -219,8 +256,10 @@ class SketchCC:
         return guarded.select("vertex", (F.col("net") * F.col("eid")).alias("seid"))
 
     def build_state(self, stream: DataFrame) -> DataFrame:
-        """Build the (vertex, sketch) state table from a full stream slice."""
+        """Build the (vertex, det, grp) state table from a full stream slice."""
         geom = self.geom
+        gsz = geom.cols_per_sample * geom.bkt_per_col
+        n_groups = geom.num_samples
         updates = self.packed_updates(stream)  # already partitioned by vertex
 
         def _build(batches):
@@ -231,40 +270,60 @@ class SketchCC:
                 signs = np.where(seid >= 0, np.int64(1), np.int64(-1))
                 sm = SketchMatrix(geom, len(uniq), reuse_slot="build")
                 sm.update_many(inv, np.abs(seid).astype(np.uint64), signs=signs)
-                yield pd.DataFrame({"vertex": uniq, "sketch": sm.to_bytes_rows()})
+                dets, grps = encode_group_rows(sm.buckets, gsz, n_groups)
+                yield pd.DataFrame({"vertex": uniq, "det": dets, "grp": grps})
 
         return updates.mapInPandas(_build, schema=STATE_SCHEMA)
 
     def merge_states(self, a: DataFrame, b: DataFrame) -> DataFrame:
         """Additive merge of two state tables (linear-sketch property)."""
         geom = self.geom
+        gsz = geom.cols_per_sample * geom.bkt_per_col
+        n_groups = geom.num_samples
         both = a.unionAll(b).repartition(self.num_partitions, "vertex")
 
         def _merge(batches):
             for pdf in _concat(batches):
                 verts = pdf["vertex"].to_numpy(np.int64)
                 uniq, inv = np.unique(verts, return_inverse=True)
-                sm = SketchMatrix.from_bytes_rows(
-                    geom, pdf["sketch"].tolist(), reuse_slot="decode"
+                arr = decode_group_rows(
+                    pdf["det"].tolist(), pdf["grp"].tolist(),
+                    n_groups, gsz, geom.num_buckets,
                 )
+                sm = SketchMatrix(geom, len(arr), arr)
                 groups, combined = sm.merged_by_group(inv, reuse_slot="merge")
-                out = SketchMatrix(geom, len(uniq), combined)
-                yield pd.DataFrame({"vertex": uniq, "sketch": out.to_bytes_rows()})
+                dets, grps = encode_group_rows(combined, gsz, n_groups)
+                yield pd.DataFrame({"vertex": uniq, "det": dets, "grp": grps})
 
         return both.mapInPandas(_merge, schema=STATE_SCHEMA)
 
     # ------------------------------------------------------------------ query
 
-    def _prune_slice(self, group_lo: int, group_hi: int):
-        """Byte range of sample groups [group_lo, group_hi)'s columns — the
-        reference's range_merge column pruning (sketch.cpp:156-179), applied
-        at decode time before the Boruvka shuffle. Groups are contiguous in
-        the bucket layout, so a multi-group slice is one range."""
-        g = self.geom
-        bpc, cps = g.bkt_per_col, g.cols_per_sample
-        start = group_lo * cps * bpc * 16
-        width = (group_hi - group_lo) * cps * bpc * 16
-        return start, width
+    def _query_parts(self) -> int:
+        """Python-task parallelism for QUERY-side map stages.
+
+        The build shuffle keeps self.num_partitions (the gutter geometry),
+        but query stages over the built state are latency-bound by per-task
+        overhead, not bytes: at kron_17 a no-op mapInPandas over the cached
+        state cost 1.11s at 128 tasks vs 0.38s coalesced to 32 (the cluster's
+        core count) — ~7ms fixed cost per python task with trivial work.
+        Scale-adaptive: sc.defaultParallelism is total cores on a cluster,
+        so this tracks the machine, never a local-mode constant."""
+        return max(1, min(
+            self.num_partitions, self.spark.sparkContext.defaultParallelism
+        ))
+
+    def _sliced(self, state: DataFrame, group_lo: int, group_hi: int) -> DataFrame:
+        """JVM-side column pruning: keep only sample groups
+        [group_lo, group_hi) (+ det) — the reference's range_merge pruning
+        (sketch.cpp:156-179) as a Catalyst array slice, so the pruned bytes
+        never reach the Arrow boundary. Also coalesces to query parallelism
+        (no shuffle): every downstream python stage runs _query_parts tasks
+        instead of one per build partition."""
+        k = group_hi - group_lo
+        return state.select(
+            "vertex", "det", F.slice("grp", group_lo + 1, k).alias("grp")
+        ).coalesce(self._query_parts())
 
     def boruvka(
         self,
@@ -314,15 +373,17 @@ class SketchCC:
             state.count()
 
         def _apply_edges(lo: np.ndarray, hi: np.ndarray) -> int:
-            merged = 0
-            for s, d in zip(lo, hi):
-                rs, rd = dsu.find(int(s)), dsu.find(int(d))
-                if rs != rd:
-                    lo_r, hi_r = (rs, rd) if rs < rd else (rd, rs)
-                    dsu.parent[hi_r] = lo_r
-                    forest.append((int(s), int(d)))
-                    merged += 1
-            return merged
+            # vectorized bulk union (round 0 applies ~one edge per vertex —
+            # the per-edge python find() loop here was ~1.5-2s of the kron_17
+            # CC query; union_edges_bulk is a few numpy passes). The applied
+            # tree-edge set is a valid spanning forest of the sampled edges
+            # (dsu.py docstring); labels are identical to sequential replay.
+            applied = dsu.union_edges_bulk(lo, hi)
+            if applied.any():
+                forest.extend(
+                    zip(lo[applied].tolist(), hi[applied].tolist())
+                )
+            return int(applied.sum())
 
         slice_bytes_per_group = (g.cols_per_sample * g.bkt_per_col + 1) * 16
         active: np.ndarray | None = None  # roots that may still have cut edges
@@ -343,9 +404,14 @@ class SketchCC:
                 if len(active) == 0:
                     break
                 # exact collected size: _finish_driver_side pre-reduces per
-                # root distributively, so the driver receives exactly one
-                # slice row per active component
-                if len(active) * remaining * slice_bytes_per_group <= driver_finish_bytes:
+                # root distributively AND collects at most FINISH_BATCH_GROUPS
+                # groups per batch, so the driver receives exactly one slice
+                # row per active component per batch — the gate therefore
+                # bounds the per-batch collect, which lets the finish engage
+                # with more components still active (fewer sequential
+                # distributed rounds; batching keeps the memory bound)
+                batch_est = min(remaining, FINISH_BATCH_GROUPS)
+                if len(active) * batch_est * slice_bytes_per_group <= driver_finish_bytes:
                     self.last_boruvka_stats["driver_finish_round"] = rnd
                     self.last_boruvka_stats["driver_finish_components"] = len(active)
                     self._finish_driver_side(
@@ -385,42 +451,45 @@ class SketchCC:
         return dsu.labels(), fa
 
     def _reduced_slices(
-        self, state: DataFrame, labels_df: DataFrame, start: int, width: int
+        self, state: DataFrame, labels_df: DataFrame, group_lo: int, group_hi: int
     ) -> tuple[DataFrame, int]:
-        """(root, sketch) — per-component sums of the byte range
-        [start, start+width) plus the deterministic bucket (remapped to the
-        last slot), as fixed-width dense blobs. Two vectorized stages:
-        per-map-partition partial sums, then a repartition(root) exchange and
-        a final per-partition sum — so a giant component never concentrates
-        more rows on one reducer than there are map partitions, and no
-        per-root Python function calls happen anywhere."""
+        """(root, sketch) — per-component sums of sample groups
+        [group_lo, group_hi) plus the deterministic bucket (last slot), as
+        fixed-width dense blobs for the driver's numpy accumulator. Two
+        vectorized stages: per-map-partition partial sums (emitted in the
+        grouped-SPARSE layout, so the exchange ships ~nnz*18 bytes per root
+        instead of a dense slice), then a repartition(root) exchange and a
+        final per-partition sum — a giant component never concentrates more
+        rows on one reducer than there are map partitions, and no per-root
+        Python function calls happen anywhere. The input is pruned JVM-side
+        (_sliced), so only the requested groups' bytes cross into Python."""
         g = self.geom
-        det_idx = g.num_buckets - 1
-        keep_lo, keep_hi = start // 16, (start + width) // 16
-        slice_nb = width // 16 + 1
-        joined = state.join(labels_df, "vertex").select("root", "sketch")
+        k = group_hi - group_lo
+        gsz = g.cols_per_sample * g.bkt_per_col
+        slice_nb = k * gsz + 1
+        joined = self._sliced(state, group_lo, group_hi).join(
+            labels_df, "vertex"
+        ).select("root", "det", "grp")
 
         def _partial(batches):
             for pdf in _concat(batches):
                 roots = pdf["root"].to_numpy(np.int64)
-                arr = SketchMatrix.slice_rows(
-                    pdf["sketch"].tolist(), keep_lo, keep_hi, det_idx, slice_nb
+                arr = decode_group_rows(
+                    pdf["det"].tolist(), pdf["grp"].tolist(), k, gsz, slice_nb
                 )
                 uniq, inv = np.unique(roots, return_inverse=True)
                 out = np.zeros((len(uniq), slice_nb, 2), dtype=np.uint64)
                 with np.errstate(over="ignore"):
                     np.add.at(out, inv, arr)
-                flat = out.reshape(len(uniq), -1)
-                yield pd.DataFrame(
-                    {"root": uniq, "sketch": [flat[i].tobytes() for i in range(len(uniq))]}
-                )
+                dets, grps = encode_group_rows(out, gsz, k)
+                yield pd.DataFrame({"root": uniq, "det": dets, "grp": grps})
 
         def _final(batches):
             for pdf in _concat(batches):
                 roots = pdf["root"].to_numpy(np.int64)
-                mats = np.frombuffer(
-                    b"".join(pdf["sketch"].tolist()), dtype=np.uint64
-                ).reshape(len(roots), slice_nb, 2)
+                mats = decode_group_rows(
+                    pdf["det"].tolist(), pdf["grp"].tolist(), k, gsz, slice_nb
+                )
                 uniq, inv = np.unique(roots, return_inverse=True)
                 acc = np.zeros((len(uniq), slice_nb, 2), dtype=np.uint64)
                 with np.errstate(over="ignore"):
@@ -431,8 +500,8 @@ class SketchCC:
                 )
 
         reduced = (
-            joined.mapInPandas(_partial, schema=PARTIAL_SCHEMA)
-            .repartition(self.num_partitions, "root")
+            joined.mapInPandas(_partial, schema=GROUPED_PARTIAL_SCHEMA)
+            .repartition(self._query_parts(), "root")
             .mapInPandas(_final, schema=PARTIAL_SCHEMA)
         )
         return reduced, slice_nb
@@ -447,56 +516,81 @@ class SketchCC:
         dsu: NumpyDSU,
         forest: list,
         apply_edges,
+        batch_groups: int = FINISH_BATCH_GROUPS,
     ) -> int:
-        """Collect per-component slices for all remaining sample groups (a
-        distributed two-stage reduce + one collect) and run the remaining
-        Boruvka rounds in pure numpy (reference cc_sketch_alg.cpp:464-513
-        analog). The collect is exactly len(active) rows of slice bytes —
-        the groupBy(root) reduce runs distributed first, so the gate estimate
-        in boruvka() is the true collected size."""
+        """Collect per-component slices for the remaining sample groups (a
+        distributed two-stage reduce + one collect per BATCH) and run the
+        remaining Boruvka rounds in pure numpy (reference
+        cc_sketch_alg.cpp:464-513 analog). Each collect is exactly one row
+        per currently-active component — the groupBy(root) reduce runs
+        distributed first, so the gate estimate in boruvka() is the true
+        collected size.
+
+        Groups are collected `batch_groups` at a time, not all-remaining at
+        once: the finish almost always converges within the first few groups
+        (components shrink geometrically), so collecting the full remaining
+        width shipped 3-4x the slice bytes through the reduce for nothing —
+        measured 3.84s (11 groups) vs 1.39s (3 groups) per collect at
+        kron_17's 2406-component finish. A later batch, when needed at all,
+        reduces over the contracted (much smaller) active set; its
+        per-component sums are identical to the one-shot collect because the
+        slice aggregation commutes with DSU contraction (linear sketch)."""
         g = self.geom
         n = self.num_vertices
-        bpc, cps = g.bkt_per_col, g.cols_per_sample
-        start = start_round * cps * bpc * 16
-        width = (budget - start_round) * cps * bpc * 16
-        labels_df = self._labels_df(labels, active)
-        reduced, slice_nb = self._reduced_slices(state, labels_df, start, width)
-        rows = reduced.collect()
-        comp_roots = np.array([r["root"] for r in rows], dtype=np.int64)
-        acc = np.frombuffer(
-            b"".join(r["sketch"] for r in rows), dtype=np.uint64
-        ).reshape(len(rows), slice_nb, 2).copy()
-
-        n_groups = budget - start_round
-        slice_geom = _SliceGeom(g, slice_nb, n_groups)
-
         total_merged = 0
-        for gi in range(n_groups):
-            sm = SketchMatrix(slice_geom, len(comp_roots), acc)
-            status, eid = sm.sample_many(gi)
-            goodm = status == GOOD
-            if goodm.any():
-                lo, hi = decode_edges(eid[goodm].astype(np.uint64), n)
-                valid = (lo >= 0) & (lo < hi) & (hi < n)
-                merged = apply_edges(lo[valid], hi[valid])
-            else:
-                merged = 0
-            total_merged += merged
-            if merged == 0 and not goodm.any():
+        gi_abs = start_round
+        act = np.asarray(active, dtype=np.int64)
+        while gi_abs < budget and len(act) > 1:
+            kb = min(batch_groups, budget - gi_abs)
+            labels_now = dsu.labels()
+            act = np.unique(labels_now[act])  # contract through merges so far
+            if len(act) <= 1:
                 break
-            # re-contract: combine slices of components merged this round
-            new_labels = dsu.labels()
-            new_roots = new_labels[comp_roots]
-            uniq2, inv2 = np.unique(new_roots, return_inverse=True)
-            if len(uniq2) == len(comp_roots):
+            labels_df = self._labels_df(labels_now, act)
+            reduced, slice_nb = self._reduced_slices(
+                state, labels_df, gi_abs, gi_abs + kb
+            )
+            rows = reduced.collect()
+            if not rows:
+                break
+            comp_roots = np.array([r["root"] for r in rows], dtype=np.int64)
+            acc = np.frombuffer(
+                b"".join(r["sketch"] for r in rows), dtype=np.uint64
+            ).reshape(len(rows), slice_nb, 2).copy()
+            slice_geom = _SliceGeom(g, slice_nb, kb)
+            stop = False
+            for gi in range(kb):
+                sm = SketchMatrix(slice_geom, len(comp_roots), acc)
+                status, eid = sm.sample_many(gi)
+                goodm = status == GOOD
+                if goodm.any():
+                    lo, hi = decode_edges(eid[goodm].astype(np.uint64), n)
+                    valid = (lo >= 0) & (lo < hi) & (hi < n)
+                    merged = apply_edges(lo[valid], hi[valid])
+                else:
+                    merged = 0
+                total_merged += merged
                 if merged == 0:
+                    # no progress this group: with goodm empty nothing can
+                    # ever merge again; with goodm all-redundant the sampled
+                    # edges were internal to already-merged components and
+                    # the contraction below would be a no-op — both cases
+                    # terminated the unbatched loop too
+                    stop = True
                     break
-                continue
-            acc2 = np.zeros((len(uniq2), slice_nb, 2), dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                np.add.at(acc2, inv2, acc)
-            acc, comp_roots = acc2, uniq2
-            if len(comp_roots) <= 1:
+                # re-contract: combine slices of components merged this round
+                new_labels = dsu.labels()
+                new_roots = new_labels[comp_roots]
+                uniq2, inv2 = np.unique(new_roots, return_inverse=True)
+                acc2 = np.zeros((len(uniq2), slice_nb, 2), dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    np.add.at(acc2, inv2, acc)
+                acc, comp_roots = acc2, uniq2
+                if len(comp_roots) <= 1:
+                    stop = True
+                    break
+            gi_abs += kb
+            if stop:
                 break
         return total_merged
 
@@ -506,23 +600,22 @@ class SketchCC:
         """(root=vertex, grp, status, eid) for sample groups
         [group_lo, group_hi) of every vertex's OWN sketch — the no-shuffle,
         no-join sampler for rounds where the label map is the identity
-        (every vertex its own component): one map pass, pruned decode
-        (slice_rows), no aggregation. At web scale this round would
+        (every vertex its own component): one map pass over the JVM-pruned
+        group slice (_sliced), no aggregation. At web scale this round would
         otherwise be the most expensive one — every vertex is an "active
         component", so the generic path's dense per-root slice shuffle is
         Θ(vertices x slice bytes)."""
         geom = self.geom
         k = group_hi - group_lo
-        start, width = self._prune_slice(group_lo, group_hi)
-        keep_lo, keep_hi = start // 16, (start + width) // 16
-        det_idx = geom.num_buckets - 1
-        slice_nb = width // 16 + 1
+        gsz = geom.cols_per_sample * geom.bkt_per_col
+        slice_nb = k * gsz + 1
         slice_geom = _SliceGeom(geom, slice_nb, k)
+        sliced = self._sliced(state, group_lo, group_hi)
 
         def _sample(batches):
             for pdf in _concat(batches):
-                arr = SketchMatrix.slice_rows(
-                    pdf["sketch"].tolist(), keep_lo, keep_hi, det_idx, slice_nb
+                arr = decode_group_rows(
+                    pdf["det"].tolist(), pdf["grp"].tolist(), k, gsz, slice_nb
                 )
                 sm = SketchMatrix(slice_geom, len(arr), arr)
                 verts = pdf["vertex"].to_numpy(np.int64)
@@ -542,7 +635,7 @@ class SketchCC:
                     )
                 yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
-        return state.mapInPandas(_sample, schema=SAMPLE_SCHEMA)
+        return sliced.mapInPandas(_sample, schema=SAMPLE_SCHEMA)
 
     def _sample_round0(self, state: DataFrame) -> pd.DataFrame:
         """Round 0 of the driver-DSU fast path: sample every vertex's own
@@ -571,44 +664,44 @@ class SketchCC:
     ) -> DataFrame:
         """(root, grp, status, eid) DataFrame — one l0-sample per component
         per sample group in [group_lo, group_hi): prune each sketch to those
-        groups' columns at decode time, partial-sum per (partition, root),
-        exchange on root, then one vectorized final-sum + per-group sample
-        over every root in the partition — no per-root Python calls.
-        Components absent from labels_df never enter the round at all (the
-        join is inner). Sampling k fresh groups against one component
-        partition is statistically equivalent to k classic rounds' worth of
-        samples and costs ONE distributed reduce instead of k."""
+        groups' columns JVM-side (_sliced — the pruned bytes never cross the
+        Arrow boundary), partial-sum per (partition, root) emitting
+        grouped-SPARSE partials, exchange on root, then one vectorized
+        final-sum + per-group sample over every root in the partition — no
+        per-root Python calls. Components absent from labels_df never enter
+        the round at all (the join is inner). Sampling k fresh groups against
+        one component partition is statistically equivalent to k classic
+        rounds' worth of samples and costs ONE distributed reduce instead of
+        k."""
         geom = self.geom
         k = group_hi - group_lo
-        start, width = self._prune_slice(group_lo, group_hi)
-        det_idx = geom.num_buckets - 1
-        keep_lo, keep_hi = start // 16, (start + width) // 16
-        slice_nb = width // 16 + 1
-        joined = state.join(labels_df, "vertex").select("root", "sketch")
+        gsz = geom.cols_per_sample * geom.bkt_per_col
+        slice_nb = k * gsz + 1
+        joined = self._sliced(state, group_lo, group_hi).join(
+            labels_df, "vertex"
+        ).select("root", "det", "grp")
 
         def _partial(batches):
             for pdf in _concat(batches):
                 roots = pdf["root"].to_numpy(np.int64)
-                arr = SketchMatrix.slice_rows(
-                    pdf["sketch"].tolist(), keep_lo, keep_hi, det_idx, slice_nb
+                arr = decode_group_rows(
+                    pdf["det"].tolist(), pdf["grp"].tolist(), k, gsz, slice_nb
                 )
                 uniq, inv = np.unique(roots, return_inverse=True)
                 out = np.zeros((len(uniq), slice_nb, 2), dtype=np.uint64)
                 with np.errstate(over="ignore"):
                     np.add.at(out, inv, arr)
-                flat = out.reshape(len(uniq), -1)
-                yield pd.DataFrame(
-                    {"root": uniq, "sketch": [flat[i].tobytes() for i in range(len(uniq))]}
-                )
+                dets, grps = encode_group_rows(out, gsz, k)
+                yield pd.DataFrame({"root": uniq, "det": dets, "grp": grps})
 
         slice_geom = _SliceGeom(geom, slice_nb, k)
 
         def _final(batches):
             for pdf in _concat(batches):
                 roots = pdf["root"].to_numpy(np.int64)
-                mats = np.frombuffer(
-                    b"".join(pdf["sketch"].tolist()), dtype=np.uint64
-                ).reshape(len(roots), slice_nb, 2)
+                mats = decode_group_rows(
+                    pdf["det"].tolist(), pdf["grp"].tolist(), k, gsz, slice_nb
+                )
                 uniq, inv = np.unique(roots, return_inverse=True)
                 acc = np.zeros((len(uniq), slice_nb, 2), dtype=np.uint64)
                 with np.errstate(over="ignore"):
@@ -631,8 +724,8 @@ class SketchCC:
                 yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
         return (
-            joined.mapInPandas(_partial, schema=PARTIAL_SCHEMA)
-            .repartition(self.num_partitions, "root")
+            joined.mapInPandas(_partial, schema=GROUPED_PARTIAL_SCHEMA)
+            .repartition(self._query_parts(), "root")
             .mapInPandas(_final, schema=SAMPLE_SCHEMA)
         )
 

@@ -548,6 +548,91 @@ class SketchMatrix:
         return out
 
 
+# -- group-sliced state serialization ---------------------------------------
+#
+# Round-8 state layout: instead of one sparse blob per vertex, the state row
+# carries (det: 16-byte dense deterministic bucket, grp: array of num_samples
+# sparse per-GROUP blobs). A sample group's columns are contiguous in the
+# bucket layout, so a Boruvka round's column pruning (reference range_merge,
+# sketch.cpp:156-179) becomes a JVM-side `slice(grp, lo, k)` — only the
+# round's ~k/num_samples of the state bytes ever cross the JVM->Python Arrow
+# boundary, where the old layout shipped every row's FULL blob and pruned in
+# Python (the transfer, not the decode, dominated: 440MB/round at kron_17).
+# Per-group element format: <idx u16[nnz]><alpha u64[nnz]><gamma u64[nnz]>,
+# idx relative to the group's first bucket; nnz = len(blob) // 18.
+
+GROUP_ITEM_BYTES = 18  # u16 idx + u64 alpha + u64 gamma
+
+
+def encode_group_rows(
+    buckets: np.ndarray, gsz: int, num_groups: int
+) -> tuple[list[bytes], list[list[bytes]]]:
+    """Encode a dense (n, num_groups*gsz + 1, 2) bucket matrix (det bucket in
+    the last slot) into (det 16-byte blobs, per-row lists of per-group sparse
+    blobs). Inverse of decode_group_rows."""
+    n = buckets.shape[0]
+    a = buckets[..., 0]
+    g = buckets[..., 1]
+    det_arr = np.ascontiguousarray(buckets[:, -1, :])  # (n, 2) alpha,gamma
+    det_bytes = det_arr.tobytes()
+    rows_nz, cols_nz = np.nonzero((a[:, :-1] | g[:, :-1]) != 0)
+    grp_of = cols_nz // gsz
+    idx_in = (cols_nz - grp_of * gsz).astype(np.uint16)
+    # np.nonzero is row-major and cols ascend within a row, so the nonzeros
+    # are already sorted by (row, group): bincount offsets index them directly
+    key = rows_nz * num_groups + grp_of
+    counts = np.bincount(key, minlength=n * num_groups)
+    offs = np.zeros(n * num_groups + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    av = a[rows_nz, cols_nz]
+    gv = g[rows_nz, cols_nz]
+    ib, ab, gb = idx_in.tobytes(), av.tobytes(), gv.tobytes()
+    dets = [det_bytes[16 * i : 16 * i + 16] for i in range(n)]
+    grps: list[list[bytes]] = []
+    for i in range(n):
+        base = i * num_groups
+        row = []
+        for gi in range(num_groups):
+            s, e = int(offs[base + gi]), int(offs[base + gi + 1])
+            row.append(ib[2 * s : 2 * e] + ab[8 * s : 8 * e] + gb[8 * s : 8 * e])
+        grps.append(row)
+    return dets, grps
+
+
+def decode_group_rows(
+    det_blobs, grp_lists, k: int, gsz: int, out_nbuckets: int
+) -> np.ndarray:
+    """Decode k-group rows back to a dense (n, out_nbuckets, 2) matrix with
+    group j's buckets at [j*gsz, (j+1)*gsz) and det in the last slot —
+    exactly the layout slice_rows produced, so _SliceGeom sampling is
+    unchanged. grp_lists holds per-row sequences of k blobs (a JVM-side
+    slice of the state's grp array)."""
+    n = len(grp_lists)
+    out = np.zeros((n, out_nbuckets, 2), dtype=np.uint64)
+    if n == 0:
+        return out
+    flat = [b for row in grp_lists for b in row]
+    nnz = np.fromiter((len(b) for b in flat), dtype=np.int64, count=n * k)
+    nnz //= GROUP_ITEM_BYTES
+    idx_parts, a_parts, g_parts = [], [], []
+    for b, m in zip(flat, nnz.tolist()):  # cheap memcpy slices only
+        idx_parts.append(b[: 2 * m])
+        a_parts.append(b[2 * m : 10 * m])
+        g_parts.append(b[10 * m :])
+    idx_all = np.frombuffer(b"".join(idx_parts), dtype=np.uint16).astype(np.int64)
+    aa = np.frombuffer(b"".join(a_parts), dtype=np.uint64)
+    gg = np.frombuffer(b"".join(g_parts), dtype=np.uint64)
+    seg = np.arange(n * k, dtype=np.int64)
+    row_rep = np.repeat(seg // k, nnz)
+    dst = np.repeat((seg % k) * gsz, nnz) + idx_all
+    out[row_rep, dst, 0] = aa
+    out[row_rep, dst, 1] = gg
+    det = np.frombuffer(b"".join(det_blobs), dtype=np.uint64).reshape(n, 2)
+    out[:, -1, 0] = det[:, 0]
+    out[:, -1, 1] = det[:, 1]
+    return out
+
+
 def encode_edges(src: np.ndarray, dst: np.ndarray, num_vertices: int) -> np.ndarray:
     """Canonical edge id: lo * n + hi (uint64). Inverse: (eid // n, eid % n).
 

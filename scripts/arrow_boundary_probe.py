@@ -37,9 +37,18 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 def build_state_arrow(alg, stream):
     """mapInArrow twin of SketchCC.build_state: same packed updates, same
     kernel, but RecordBatches in/out with zero pandas construction."""
-    from graphzeppelin_spark.operators.sketch_cc import STATE_SCHEMA
+    from pyspark.sql import types as T
+
     from graphzeppelin_spark.sketch.kernel import SketchMatrix
 
+    # probe-local schema: the round-7 single-blob layout (the probe compares
+    # Arrow vs pandas boundaries, not the round-8 grouped state format)
+    STATE_SCHEMA = T.StructType(
+        [
+            T.StructField("vertex", T.LongType(), False),
+            T.StructField("sketch", T.BinaryType(), False),
+        ]
+    )
     geom = alg.geom
     updates = alg.packed_updates(stream).repartition(alg.num_partitions, "vertex")
 

@@ -63,8 +63,7 @@ def main() -> None:
             alg._sampled_components(state, labels_df, 0, 1)
         )
         plans["sketch_round0_sample"] = fmt(alg._sampled_vertices(state, 0, 1))
-        start, width = alg._prune_slice(1, alg.geom.num_samples)
-        reduced, _ = alg._reduced_slices(state, labels_df, start, width)
+        reduced, _ = alg._reduced_slices(state, labels_df, 1, alg.geom.num_samples)
         plans["sketch_driver_finish_reduce"] = fmt(reduced)
 
     for name, plan in plans.items():
