@@ -47,6 +47,7 @@ from graphzeppelin_spark.sketch.kernel import (
     SketchGeometry,
     SketchMatrix,
     decode_edges,
+    cached_zero_buckets,
     decode_group_rows,
     encode_group_rows,
 )
@@ -86,10 +87,17 @@ PARTIAL_SCHEMA = T.StructType(
     ]
 )
 
-# sample groups collected per driver-finish batch (see _finish_driver_side):
-# small enough that one batch's reduce ships ~1/4 of the old all-remaining
-# width, large enough that one batch almost always converges the tail
+# driver-finish batching (see _finish_driver_side): at least
+# FINISH_BATCH_GROUPS sample groups per collected batch, widened while the
+# batch's estimated dense collect stays under FINISH_BATCH_BYTES. Interleaved
+# A/B at kron_17 (2406 comps) and the sf0.1 chain (5165 comps): 3-group
+# batches beat gate-sized ones at BOTH scales (kron_17 finish 1.39-1.76s vs
+# 2.9-7.8s; chain 1.83-1.91 vs 2.2-2.9) — wide batches pay in driver collect
+# bytes, wide dense decode buffers and GC, while a narrow batch almost always
+# converges the tail anyway. Tiny states (< ~16MB of remaining slices) still
+# collect everything in one batch.
 FINISH_BATCH_GROUPS = 3
+FINISH_BATCH_BYTES = 16 * 1024 * 1024
 
 SAMPLE_SCHEMA = T.StructType(
     [
@@ -146,6 +154,9 @@ class SketchCC:
         # the number of sequential Spark rounds (the distributed path's cost
         # driver) drops ~k-fold for the same sample budget
         self.groups_per_round = groups_per_round
+        # optional cap (bytes) on a single driver-finish batch's estimated
+        # collect; None = the measured FINISH_BATCH_BYTES default
+        self.finish_batch_bytes: int | None = None
 
     # ------------------------------------------------------------------ build
 
@@ -288,7 +299,7 @@ class SketchCC:
                 uniq, inv = np.unique(verts, return_inverse=True)
                 arr = decode_group_rows(
                     pdf["det"].tolist(), pdf["grp"].tolist(),
-                    n_groups, gsz, geom.num_buckets,
+                    n_groups, gsz, geom.num_buckets, reuse_slot="gdec_merge",
                 )
                 sm = SketchMatrix(geom, len(arr), arr)
                 groups, combined = sm.merged_by_group(inv, reuse_slot="merge")
@@ -308,9 +319,16 @@ class SketchCC:
         state cost 1.11s at 128 tasks vs 0.38s coalesced to 32 (the cluster's
         core count) — ~7ms fixed cost per python task with trivial work.
         Scale-adaptive: sc.defaultParallelism is total cores on a cluster,
-        so this tracks the machine, never a local-mode constant."""
-        return max(1, min(
-            self.num_partitions, self.spark.sparkContext.defaultParallelism
+        so this tracks the machine, never a local-mode constant; small
+        states additionally shrink toward ~2048 vertices per task (an 8-task
+        boruvka beat the 32-task one 1.65s vs 2.33s on the 15k-vertex sf0.1
+        chain — same fixed-cost-per-task argument at the next scale down)."""
+        # floor 2: repartition(1, root) would plan an Exchange SinglePartition
+        # (losing the hash-partitioned reduce shape the plan gates pin)
+        return max(2, min(
+            self.num_partitions,
+            self.spark.sparkContext.defaultParallelism,
+            -(-self.num_vertices // 2048),
         ))
 
     def _sliced(self, state: DataFrame, group_lo: int, group_hi: int) -> DataFrame:
@@ -415,7 +433,8 @@ class SketchCC:
                     self.last_boruvka_stats["driver_finish_round"] = rnd
                     self.last_boruvka_stats["driver_finish_components"] = len(active)
                     self._finish_driver_side(
-                        state, labels, active, rnd, budget, dsu, forest, _apply_edges
+                        state, labels, active, rnd, budget, dsu, forest,
+                        _apply_edges, driver_finish_bytes=driver_finish_bytes,
                     )
                     rounds_stats.append(
                         {"round": rnd, "kind": "driver_finish",
@@ -475,10 +494,11 @@ class SketchCC:
             for pdf in _concat(batches):
                 roots = pdf["root"].to_numpy(np.int64)
                 arr = decode_group_rows(
-                    pdf["det"].tolist(), pdf["grp"].tolist(), k, gsz, slice_nb
+                    pdf["det"].tolist(), pdf["grp"].tolist(), k, gsz, slice_nb,
+                    reuse_slot="gdec_partial",
                 )
                 uniq, inv = np.unique(roots, return_inverse=True)
-                out = np.zeros((len(uniq), slice_nb, 2), dtype=np.uint64)
+                out = cached_zero_buckets(slice_nb, len(uniq), "gacc_partial")
                 with np.errstate(over="ignore"):
                     np.add.at(out, inv, arr)
                 dets, grps = encode_group_rows(out, gsz, k)
@@ -488,10 +508,11 @@ class SketchCC:
             for pdf in _concat(batches):
                 roots = pdf["root"].to_numpy(np.int64)
                 mats = decode_group_rows(
-                    pdf["det"].tolist(), pdf["grp"].tolist(), k, gsz, slice_nb
+                    pdf["det"].tolist(), pdf["grp"].tolist(), k, gsz, slice_nb,
+                    reuse_slot="gdec_final",
                 )
                 uniq, inv = np.unique(roots, return_inverse=True)
-                acc = np.zeros((len(uniq), slice_nb, 2), dtype=np.uint64)
+                acc = cached_zero_buckets(slice_nb, len(uniq), "gacc_final")
                 with np.errstate(over="ignore"):
                     np.add.at(acc, inv, mats)
                 flat = acc.reshape(len(uniq), -1)
@@ -517,6 +538,7 @@ class SketchCC:
         forest: list,
         apply_edges,
         batch_groups: int = FINISH_BATCH_GROUPS,
+        driver_finish_bytes: int = 256 * 1024 * 1024,
     ) -> int:
         """Collect per-component slices for the remaining sample groups (a
         distributed two-stage reduce + one collect per BATCH) and run the
@@ -526,22 +548,26 @@ class SketchCC:
         distributed first, so the gate estimate in boruvka() is the true
         collected size.
 
-        Groups are collected `batch_groups` at a time, not all-remaining at
-        once: the finish almost always converges within the first few groups
-        (components shrink geometrically), so collecting the full remaining
-        width shipped 3-4x the slice bytes through the reduce for nothing —
-        measured 3.84s (11 groups) vs 1.39s (3 groups) per collect at
-        kron_17's 2406-component finish. A later batch, when needed at all,
-        reduces over the contracted (much smaller) active set; its
-        per-component sums are identical to the one-shot collect because the
-        slice aggregation commutes with DSU contraction (linear sketch)."""
+        Groups are collected in small batches (FINISH_BATCH_GROUPS, widened
+        only while the batch's estimated collect stays under
+        FINISH_BATCH_BYTES — so test-scale states still one-shot), not
+        all-remaining at once: wide batches pay in driver collect bytes,
+        wide dense decode buffers and GC, while a narrow batch almost always
+        converges the tail anyway (see the constants' A/B numbers). A later
+        batch, when needed at all, reduces over the contracted (much
+        smaller) active set; its per-component sums are identical to the
+        one-shot collect because the slice aggregation commutes with DSU
+        contraction (linear sketch)."""
         g = self.geom
         n = self.num_vertices
+        slice_bytes_per_group = (g.cols_per_sample * g.bkt_per_col + 1) * 16
         total_merged = 0
         gi_abs = start_round
         act = np.asarray(active, dtype=np.int64)
         while gi_abs < budget and len(act) > 1:
-            kb = min(batch_groups, budget - gi_abs)
+            cap = self.finish_batch_bytes or FINISH_BATCH_BYTES
+            by_gate = cap // max(1, len(act) * slice_bytes_per_group)
+            kb = min(budget - gi_abs, max(batch_groups, int(by_gate)))
             labels_now = dsu.labels()
             act = np.unique(labels_now[act])  # contract through merges so far
             if len(act) <= 1:
@@ -615,7 +641,8 @@ class SketchCC:
         def _sample(batches):
             for pdf in _concat(batches):
                 arr = decode_group_rows(
-                    pdf["det"].tolist(), pdf["grp"].tolist(), k, gsz, slice_nb
+                    pdf["det"].tolist(), pdf["grp"].tolist(), k, gsz, slice_nb,
+                    reuse_slot="gdec_sample",
                 )
                 sm = SketchMatrix(slice_geom, len(arr), arr)
                 verts = pdf["vertex"].to_numpy(np.int64)
@@ -685,10 +712,11 @@ class SketchCC:
             for pdf in _concat(batches):
                 roots = pdf["root"].to_numpy(np.int64)
                 arr = decode_group_rows(
-                    pdf["det"].tolist(), pdf["grp"].tolist(), k, gsz, slice_nb
+                    pdf["det"].tolist(), pdf["grp"].tolist(), k, gsz, slice_nb,
+                    reuse_slot="gdec_partial",
                 )
                 uniq, inv = np.unique(roots, return_inverse=True)
-                out = np.zeros((len(uniq), slice_nb, 2), dtype=np.uint64)
+                out = cached_zero_buckets(slice_nb, len(uniq), "gacc_partial")
                 with np.errstate(over="ignore"):
                     np.add.at(out, inv, arr)
                 dets, grps = encode_group_rows(out, gsz, k)
@@ -700,10 +728,11 @@ class SketchCC:
             for pdf in _concat(batches):
                 roots = pdf["root"].to_numpy(np.int64)
                 mats = decode_group_rows(
-                    pdf["det"].tolist(), pdf["grp"].tolist(), k, gsz, slice_nb
+                    pdf["det"].tolist(), pdf["grp"].tolist(), k, gsz, slice_nb,
+                    reuse_slot="gdec_final",
                 )
                 uniq, inv = np.unique(roots, return_inverse=True)
-                acc = np.zeros((len(uniq), slice_nb, 2), dtype=np.uint64)
+                acc = cached_zero_buckets(slice_nb, len(uniq), "gacc_final")
                 with np.errstate(over="ignore"):
                     np.add.at(acc, inv, mats)
                 sm = SketchMatrix(slice_geom, len(uniq), acc)

@@ -600,15 +600,21 @@ def encode_group_rows(
 
 
 def decode_group_rows(
-    det_blobs, grp_lists, k: int, gsz: int, out_nbuckets: int
+    det_blobs, grp_lists, k: int, gsz: int, out_nbuckets: int,
+    reuse_slot: str | None = None,
 ) -> np.ndarray:
     """Decode k-group rows back to a dense (n, out_nbuckets, 2) matrix with
     group j's buckets at [j*gsz, (j+1)*gsz) and det in the last slot —
     exactly the layout slice_rows produced, so _SliceGeom sampling is
     unchanged. grp_lists holds per-row sequences of k blobs (a JVM-side
-    slice of the state's grp array)."""
+    slice of the state's grp array). reuse_slot: decode into a process-
+    cached buffer (cached_zero_buckets contract — the returned matrix is
+    invalidated by the next same-slot call)."""
     n = len(grp_lists)
-    out = np.zeros((n, out_nbuckets, 2), dtype=np.uint64)
+    if reuse_slot is not None:
+        out = cached_zero_buckets(out_nbuckets, n, reuse_slot)
+    else:
+        out = np.zeros((n, out_nbuckets, 2), dtype=np.uint64)
     if n == 0:
         return out
     flat = [b for row in grp_lists for b in row]

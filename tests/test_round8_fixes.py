@@ -1,0 +1,93 @@
+"""Round-8 optimization regression tests: grouped state layout, JVM-side
+group pruning, batched driver finish, bulk-DSU edge application."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from graphzeppelin_spark import oracle
+from graphzeppelin_spark.operators.sketch_cc import SketchCC
+from graphzeppelin_spark.sketch.kernel import (
+    decode_group_rows,
+    encode_group_rows,
+)
+from graphzeppelin_spark.sources.generators import (
+    multiples_graph_stream,
+    path_graph_stream,
+)
+from tests.conftest import stream_df
+
+
+def test_group_codec_roundtrip():
+    rng = np.random.default_rng(0)
+    for n, G, gsz in [(7, 4, 10), (100, 12, 105), (1, 1, 3), (5, 3, 7)]:
+        nb = G * gsz + 1
+        m = np.zeros((n, nb, 2), dtype=np.uint64)
+        mask = rng.random((n, nb)) < 0.3
+        m[..., 0][mask] = rng.integers(1, 2**63, size=mask.sum(), dtype=np.uint64)
+        m[..., 1][mask] = rng.integers(1, 2**63, size=mask.sum(), dtype=np.uint64)
+        dets, grps = encode_group_rows(m, gsz, G)
+        assert np.array_equal(decode_group_rows(dets, grps, G, gsz, nb), m)
+        # partial slice decode (the per-round JVM pruning contract): groups
+        # [lo, lo+k) land at the slice's start, det in the last slot
+        k = min(2, G)
+        lo = 1 if G > 1 else 0
+        sl = [row[lo : lo + k] for row in grps]
+        nb2 = k * gsz + 1
+        got = decode_group_rows(dets, sl, k, gsz, nb2)
+        exp = np.zeros((n, nb2, 2), dtype=np.uint64)
+        exp[:, : k * gsz] = m[:, lo * gsz : (lo + k) * gsz]
+        exp[:, -1] = m[:, -1]
+        assert np.array_equal(got, exp)
+
+
+def test_round_sampler_ships_sliced_groups(spark):
+    """The per-round samplers must slice the grp array JVM-side: the plan
+    feeding the python stage carries `slice(grp, ...)`, so pruned groups
+    never cross the Arrow boundary (the round-8 replacement for python-side
+    slice_rows pruning)."""
+    alg = SketchCC(spark, num_vertices=256, seed=3)
+    state = alg.build_state(
+        stream_df(spark, multiples_graph_stream(256))
+    ).localCheckpoint(eager=True)
+    plan = state.sparkSession._jvm.PythonSQLUtils  # noqa: F841 (import guard)
+    df = alg._sampled_vertices(state, 1, 2)
+    txt = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "slice(grp" in txt, txt
+
+
+def test_driver_finish_batches_match_oracle(spark):
+    """Force the driver finish into many tiny batches (1-group cap) on the
+    adversarial path graph — the batched collect must reproduce the exact
+    oracle labeling (per-component sums commute with DSU contraction)."""
+    n = 128
+    s = path_graph_stream(n, seed=2)
+    alg = SketchCC(spark, num_vertices=n, seed=7)
+    alg.finish_batch_bytes = 1  # kb floor = FINISH_BATCH_GROUPS every batch
+    state = alg.build_state(stream_df(spark, s))
+    labels, forest = alg.boruvka(state)
+    edges_np = oracle.live_edges(s, n)
+    np.testing.assert_array_equal(
+        labels, oracle.connected_components(edges_np, n)
+    )
+    assert oracle.spanning_forest_is_valid(forest, edges_np, n)
+
+
+def test_bulk_apply_edges_labels_canonical(spark):
+    """boruvka's vectorized edge application must keep labels canonical
+    (component = min member id) and the forest a valid spanning forest."""
+    n = 256
+    s = multiples_graph_stream(n)
+    alg = SketchCC(spark, num_vertices=n, seed=11)
+    labels, forest = alg.boruvka(alg.build_state(stream_df(spark, s)))
+    edges_np = oracle.live_edges(s, n)
+    expected = oracle.connected_components(edges_np, n)
+    np.testing.assert_array_equal(labels, expected)
+    # canonical: every label is the minimum vertex id of its component
+    for comp in np.unique(labels):
+        assert comp == np.flatnonzero(labels == comp).min()
