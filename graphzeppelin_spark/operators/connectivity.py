@@ -86,6 +86,7 @@ def connected_components_df(
     checkpoint_each_round: bool = True,
     pairs_per_check: int = 1,
     checkpoint_dir: str | None = None,
+    driver_finish_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Return (v:long, component:long), component = min vertex id in component.
 
@@ -98,7 +99,20 @@ def connected_components_df(
     (guarded by the input edge set's count+hash fingerprint) — the same
     mechanism as pagerank_df / label_propagation_df; a converged snapshot
     short-circuits straight to the labeling join.
-    """
+
+    driver_finish_bytes: when the (possibly already contracted) edge set
+    provably fits this byte budget (16 bytes/edge), finish with one collect
+    and a vectorized numpy DSU instead of more star-contraction rounds —
+    the same bounded driver-finish economics as SketchCC.boruvka (the
+    reference's whole query is in-memory; we drop down exactly when it
+    provably fits). Correct mid-convergence because each star round
+    preserves the component partition over the surviving vertices and every
+    non-minimum member stays an edge endpoint until convergence (Kiveris et
+    al. §3 invariants; regression-tested against the recursive oracle from
+    forced mid-round finishes). The DSU labels are canonical (min member
+    id) — identical to the star-contraction fixpoint. Disabled when
+    checkpointing (the per-round snapshot/resume contract is the point
+    there); 0 disables it outright."""
     verts = vertices if vertices is not None else vertices_of(edges)
     cur = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).distinct()
     cur = cur.localCheckpoint(eager=True) if checkpoint_each_round else cur.persist()
@@ -144,6 +158,47 @@ def connected_components_df(
                 cur_stats = (int(meta["c"]), int(meta["h"]))
                 start_iter = int(meta["iteration"])
                 resumed_converged = bool(meta.get("converged"))
+    def _label(mapping: DataFrame) -> DataFrame:
+        labels = verts.select(F.col("v").cast("long")).join(mapping, "v", "left")
+        return labels.select("v", F.coalesce("c", "v").alias("component"))
+
+    def _driver_finish(cur_df: DataFrame) -> DataFrame:
+        """One collect + vectorized numpy DSU over a byte-gated edge set;
+        returns the (v, c) remap (c = component min, rows only where
+        c != v) to feed the same labeling join as the star-forest path."""
+        import numpy as np
+        import pandas as pd
+
+        from graphzeppelin_spark.sketch.dsu import NumpyDSU
+
+        pdf = cur_df.select("src", "dst").toPandas()
+        s = pdf["src"].to_numpy(np.int64)
+        d = pdf["dst"].to_numpy(np.int64)
+        ids = np.unique(np.concatenate([s, d]))
+        local = NumpyDSU(len(ids))
+        local.union_edges_bulk(np.searchsorted(ids, s), np.searchsorted(ids, d))
+        comp = ids[local.labels()]
+        changed = comp != ids
+        return F.broadcast(
+            edges.sparkSession.createDataFrame(
+                pd.DataFrame(
+                    {"v": ids[changed], "c": comp[changed]}
+                ).astype({"v": "int64", "c": "int64"}),
+                schema="v long, c long",
+            )
+        )
+
+    finish_enabled = store is None and driver_finish_bytes > 0
+    if finish_enabled and cur_stats[0] * 16 <= driver_finish_bytes:
+        remap = _driver_finish(cur)
+        if checkpoint_each_round:
+            from graphzeppelin_spark.session import free_local_checkpoint
+
+            free_local_checkpoint(cur)
+        else:
+            cur.unpersist()
+        return _label(remap)
+
     # the per-star min-map is one skinny row per live vertex and shrinks
     # every round; broadcasting it makes the adj join map-side, halving the
     # exchanges per half-round. Size-gated BOTH ways (the pagerank lesson):
@@ -204,9 +259,17 @@ def connected_components_df(
         if converged:
             break
         cur_stats = new_stats
+        if finish_enabled and cur_stats[0] * 16 <= driver_finish_bytes:
+            # the contracted set shrank under the gate: cut the convergence
+            # tail (the remaining rounds are many tiny all-cluster jobs)
+            remap = _driver_finish(cur)
+            if checkpoint_each_round:
+                from graphzeppelin_spark.session import free_local_checkpoint
+
+                free_local_checkpoint(cur)
+            else:
+                cur.unpersist()
+            return _label(remap)
 
     # converged: `cur` is a star forest (src = component min, dst = member)
-    labels = verts.select(F.col("v").cast("long")).join(
-        cur.select(F.col("dst").alias("v"), F.col("src").alias("c")), "v", "left"
-    )
-    return labels.select("v", F.coalesce("c", "v").alias("component"))
+    return _label(cur.select(F.col("dst").alias("v"), F.col("src").alias("c")))

@@ -78,6 +78,42 @@ def test_driver_finish_batches_match_oracle(spark):
     assert oracle.spanning_forest_is_valid(forest, edges_np, n)
 
 
+def _edges_df(spark, edges_np):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"src": edges_np[:, 0], "dst": edges_np[:, 1]}),
+        schema="src long, dst long",
+    )
+
+
+def test_exact_cc_driver_finish_matches_star_contraction(spark):
+    """connected_components_df's byte-gated driver finish must reproduce the
+    star-contraction labeling exactly — at round 0 (gate passes instantly),
+    mid-convergence (gate passes only after contraction shrinks the edge
+    set), and disabled (pure star contraction)."""
+    from graphzeppelin_spark.operators.connectivity import (
+        connected_components_df,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 400
+    m = 500
+    e = rng.integers(0, n, size=(m, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    e = np.stack([e.min(axis=1), e.max(axis=1)], axis=1)
+    e = np.unique(e, axis=0)
+    expected = oracle.connected_components(e, n)
+    verts = spark.range(n).selectExpr("id as v")
+    for gate in (64 * 1024 * 1024, (len(e) * 16) // 2, 0):
+        out = connected_components_df(
+            _edges_df(spark, e), vertices=verts, driver_finish_bytes=gate
+        ).toPandas()
+        got = np.zeros(n, dtype=np.int64)
+        got[out["v"].to_numpy()] = out["component"].to_numpy()
+        np.testing.assert_array_equal(got, expected, err_msg=f"gate={gate}")
+
+
 def test_bulk_apply_edges_labels_canonical(spark):
     """boruvka's vectorized edge application must keep labels canonical
     (component = min member id) and the forest a valid spanning forest."""
