@@ -31,6 +31,7 @@ def label_propagation_df(
     checkpoint_dir: str | None = None,
     broadcast_max_bytes: int = 64 * 1024 * 1024,
     big_threshold: int = 1_000_000,
+    driver_finish_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Return (v:long, label:long).
 
@@ -52,7 +53,7 @@ def label_propagation_df(
     # keep the plain AQE-coalesced shuffle plan (per-superstep broadcast
     # construction costs more than it saves there). stage_edges persists the
     # narrow projection BEFORE the gate count — caller's plan runs once.
-    edges_bi, _, big_edges = stage_edges(
+    edges_bi, m_bi, big_edges = stage_edges(
         edges, directed=False, n_part=n_part, big_threshold=big_threshold
     )
     # bidirected table: every vertex appears as src, so distinct(src) IS the
@@ -67,6 +68,57 @@ def label_propagation_df(
 
     labels = labels.persist()
     n_verts = labels.count()
+
+    # Driver finish (round 8): the min-rule + jump fixpoint IS the
+    # min-labeling of the connected components of the subgraph induced on
+    # the labeled vertex set (labels only ever cross edges whose BOTH
+    # endpoints are labeled — the nbr join keys on the labeled src, the
+    # adopt join on the labeled dst), and with pointer jumping the
+    # distributed loop provably reaches that fixpoint within
+    # ~log2(n) supersteps (reach doubles per superstep). So when max_iters
+    # covers a conservative 2*ceil(log2(n)) + 4 bound and the edge+vertex
+    # set fits the byte gate, compute the fixpoint with one collect and the
+    # vectorized numpy DSU instead of ~6 supersteps x 4 shuffles of Spark
+    # round-trips — identical output by the fixpoint argument (same
+    # economics and gate discipline as connected_components_df's driver
+    # finish). Mode rule, no-jump, and checkpointed runs keep the loop.
+    import math
+
+    if (
+        rule == "min"
+        and jump
+        and checkpoint_dir is None
+        and max_iters >= 2 * math.ceil(math.log2(max(n_verts, 2))) + 4
+        and (m_bi + n_verts) * 16 <= driver_finish_bytes
+    ):
+        import numpy as np
+        import pandas as pd
+
+        from graphzeppelin_spark.sketch.dsu import NumpyDSU
+
+        epdf = edges_bi.select("src", "dst").toPandas()
+        ids = np.sort(labels.select("v").toPandas()["v"].to_numpy(np.int64))
+        s = epdf["src"].to_numpy(np.int64)
+        d = epdf["dst"].to_numpy(np.int64)
+
+        def _lookup(x):
+            pos = np.searchsorted(ids, x)
+            ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == x)
+            return pos, ok
+
+        sp, s_ok = _lookup(s)
+        dp, d_ok = _lookup(d)
+        keep = s_ok & d_ok  # induced subgraph: both endpoints labeled
+        local = NumpyDSU(len(ids))
+        local.union_edges_bulk(sp[keep], dp[keep])
+        comp = ids[local.labels()]
+        labels.unpersist()
+        edges_bi.unpersist()
+        return spark.createDataFrame(
+            pd.DataFrame({"v": ids, "label": comp}),
+            schema="v long, label long",
+        )
+
     # labels are two longs per row (16B); same byte-gate helper as pagerank
     broadcast_labels = big_edges and fits_broadcast(n_verts, 16, broadcast_max_bytes)
 

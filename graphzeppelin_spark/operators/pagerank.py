@@ -35,6 +35,7 @@ def pagerank_df(
     checkpoint_dir: str | None = None,
     broadcast_max_bytes: int = 64 * 1024 * 1024,
     big_threshold: int = 1_000_000,
+    driver_finish_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Return (v:long, score:double). Undirected edges contribute both ways.
 
@@ -170,6 +171,112 @@ def pagerank_df(
     # either way. Only active for big edge tables (see the size gate above).
     broadcast_ranks = big_edges and fits_broadcast(n, 24, broadcast_max_bytes)
     from pyspark.sql import Observation
+
+    # Driver finish (round 8): a LOCKSTEP power iteration over a byte-gated
+    # small graph runs in numpy off one collect — 12 unrolled iterations cost
+    # ~24 tiny shuffles as Spark jobs (~4s of pure round-trip latency at
+    # sf0.1) vs milliseconds of vectorized scatter-adds. Same bounded
+    # driver-finish economics as connected_components_df / boruvka: gated on
+    # actual bytes (16B/row for edges + vertices), distributed beyond the
+    # gate. Arithmetic is the Spark plan's expression verbatim, applied
+    # per-edge then scatter-added per dst: on graphs with in-degree <= 2
+    # (the oracle chains) the per-vertex sums are order-insensitive, so
+    # results are bit-identical; beyond that the reduction order may differ
+    # from the distributed partial-agg tree at the last-ulp level (the
+    # operator's stated correctness target is allclose 1e-6). Lockstep mode
+    # only — no dangling-mass feedback, no checkpoint store, no resume.
+    if (
+        num_iters is not None
+        and store is None
+        and not has_dangling
+        and (m_directed + n) * 16 <= driver_finish_bytes
+    ):
+        import numpy as np
+        import pandas as pd
+
+        epdf = directed_edges.select("src", "dst").toPandas()
+        dpdf = deg.select("v", "outdeg").toPandas()
+        dv = dpdf["v"].to_numpy(np.int64)
+        ids = np.sort(dv)
+        odeg = np.zeros(len(ids), dtype=np.float64)
+        odeg[np.searchsorted(ids, dv)] = dpdf["outdeg"].to_numpy(np.float64)
+        s = epdf["src"].to_numpy(np.int64)
+        d = epdf["dst"].to_numpy(np.int64)
+
+        def _lookup(x):
+            pos = np.searchsorted(ids, x)
+            ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == x)
+            return pos, ok
+
+        sp, s_ok = _lookup(s)  # src outside the universe: no ranks row joins
+        dp, d_ok = _lookup(d)  # dst outside: contribution dropped by deg join
+        sp, dp, d_ok = sp[s_ok], dp[s_ok], d_ok[s_ok]
+        dp = dp[d_ok]
+        score = np.full(len(ids), 1.0 / n)
+        for _ in range(iters):
+            contrib = score[sp] / odeg[sp]
+            incoming = np.zeros(len(ids))
+            np.add.at(incoming, dp, contrib[d_ok])
+            score = (1 - damping) / n + damping * (incoming + dangling / n)
+        ranks.unpersist()
+        directed_edges.unpersist()
+        deg.unpersist()
+        return spark.createDataFrame(
+            pd.DataFrame({"v": ids, "score": score}),
+            schema="v long, score double",
+        )
+
+    # Lockstep fusion (round 8): when no per-iteration scalar feedback is
+    # needed — fixed iteration count, no dangling mass to re-measure, no
+    # checkpoint store — iterations chain LAZILY and only every FUSE-th one
+    # materializes (localCheckpoint). The loop body is restructured onto the
+    # persisted deg table as the join spine, so `ranks` is referenced exactly
+    # once per iteration (in the contribs join) and the lazy plan grows
+    # LINEARLY (the old ranks-spine would double the subtree per level). The
+    # score expression is verbatim the unfused one (dangling is the constant
+    # 0 here), so results are bit-identical; with in-degree <= 2 the
+    # per-vertex sums are order-insensitive anyway. Measured at sf0.1
+    # (12 unrolled iterations): 3.22s -> see OPTIMIZATION_r08.md.
+    fuse = num_iters is not None and not has_dangling and store is None
+    if fuse:
+        FUSE = 4  # 2 and 4 measured equal-best at sf0.1; 12 regressed (AQE
+        # replans the deep chained query per stage) — 4 keeps checkpoints rare
+        prev_ckpt = None
+        init_ranks = ranks
+        for _it in range(start_iter, iters):
+            r = F.broadcast(ranks) if broadcast_ranks else ranks
+            contribs = (
+                directed_edges.join(r, directed_edges.src == r.v)
+                .select(
+                    F.col("dst").alias("v2"),
+                    (F.col("score") / F.col("outdeg")).alias("contrib"),
+                )
+                .groupBy("v2")
+                .agg(F.sum("contrib").alias("incoming"))
+            )
+            c = F.broadcast(contribs) if broadcast_ranks else contribs
+            new_ranks = deg.join(c, deg.v == c.v2, "left").select(
+                deg.v,
+                (
+                    F.lit((1 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("incoming", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("score"),
+                deg.outdeg,
+            )
+            if (_it + 1 - start_iter) % FUSE == 0 or _it == iters - 1:
+                new_ranks = new_ranks.localCheckpoint(eager=True)
+                if prev_ckpt is not None:
+                    from graphzeppelin_spark.session import free_local_checkpoint
+
+                    free_local_checkpoint(prev_ckpt)
+                prev_ckpt = new_ranks
+            ranks = new_ranks
+        if init_ranks is not ranks:
+            init_ranks.unpersist()
+        directed_edges.unpersist()
+        deg.unpersist()
+        return ranks.select("v", "score")
 
     for _it in range(start_iter, iters):
         r = F.broadcast(ranks) if broadcast_ranks else ranks

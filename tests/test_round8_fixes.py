@@ -114,6 +114,50 @@ def test_exact_cc_driver_finish_matches_star_contraction(spark):
         np.testing.assert_array_equal(got, expected, err_msg=f"gate={gate}")
 
 
+def test_pagerank_driver_finish_matches_distributed(spark):
+    """The numpy lockstep driver finish must agree with the distributed loop
+    (bit-identical on in-degree<=2 graphs; ulp-level elsewhere — assert a
+    tight allclose on a random multigraph with in-degree >= 3)."""
+    from graphzeppelin_spark.operators.pagerank import pagerank_df
+
+    rng = np.random.default_rng(9)
+    e = rng.integers(0, 200, size=(400, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    e = np.unique(
+        np.stack([e.min(axis=1), e.max(axis=1)], axis=1), axis=0
+    )
+    edges = _edges_df(spark, e)
+    verts = spark.range(200).selectExpr("id as v")
+    fast = pagerank_df(edges, vertices=verts, num_iters=8).orderBy("v").toPandas()
+    slow = pagerank_df(
+        edges, vertices=verts, num_iters=8, driver_finish_bytes=0
+    ).orderBy("v").toPandas()
+    np.testing.assert_array_equal(fast["v"].to_numpy(), slow["v"].to_numpy())
+    np.testing.assert_allclose(
+        fast["score"].to_numpy(), slow["score"].to_numpy(), rtol=0, atol=1e-15
+    )
+
+
+def test_labelprop_driver_finish_matches_superstep_loop(spark):
+    """min+jump driver finish = the superstep loop's fixpoint, including the
+    induced-subgraph restriction (edges through unlabeled vertices must NOT
+    merge components)."""
+    from graphzeppelin_spark.operators.labelprop import label_propagation_df
+
+    # 0-1-2 chain, but vertex 1 is NOT in the labeled universe: 0 and 2 stay
+    # separate components in both paths
+    e = np.array([[0, 1], [1, 2], [3, 4]])
+    edges = _edges_df(spark, e)
+    verts = spark.createDataFrame([(0,), (2,), (3,), (4,)], "v long")
+    fast = label_propagation_df(edges, vertices=verts, max_iters=60)
+    slow = label_propagation_df(
+        edges, vertices=verts, max_iters=60, driver_finish_bytes=0
+    )
+    f = {r["v"]: r["label"] for r in fast.collect()}
+    s = {r["v"]: r["label"] for r in slow.collect()}
+    assert f == s == {0: 0, 2: 2, 3: 3, 4: 3}
+
+
 def test_bulk_apply_edges_labels_canonical(spark):
     """boruvka's vectorized edge application must keep labels canonical
     (component = min member id) and the forest a valid spanning forest."""
