@@ -173,11 +173,17 @@ def minhash_bands(
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         docs = pdf["doc_id"].to_numpy(np.int64)
         base = pdf["h"].to_numpy(np.int64).view(np.uint64)
-        uniq, inv = np.unique(docs, return_inverse=True)
-        sig = np.full((len(uniq), num_hashes), np.uint64(0xFFFFFFFFFFFFFFFF))
+        # sort once, then one contiguous segmented min per hash function:
+        # np.minimum.at's indexed scatter is ~20-50x slower than reduceat
+        # over presorted segments, and this loop ran 128 times per batch
+        # (it was most of dedup_minhash's python time)
+        order = np.argsort(docs, kind="stable")
+        base_s = base[order]
+        uniq, starts = np.unique(docs[order], return_index=True)
+        sig = np.empty((len(uniq), num_hashes), dtype=np.uint64)
         for i in range(num_hashes):
-            hv = splitmix64(base, seed + i)
-            np.minimum.at(sig[:, i], inv, hv)
+            hv = splitmix64(base_s, seed + i)
+            sig[:, i] = np.minimum.reduceat(hv, starts)
         out_b = np.empty((len(uniq), bands), dtype=np.int64)
         for b in range(bands):
             acc = np.full(len(uniq), np.uint64(b))

@@ -243,6 +243,18 @@ class SketchCC:
         but the reference's alternating-stream contract bounds gross at a
         small multiple of net, and the per-partition aggregation is
         vectorized JVM code either way."""
+        part = self._partitioned_updates(stream)
+        net = part.groupBy("vertex", F.abs("seid").alias("eid")).agg(
+            F.sum(F.when(F.col("seid") > 0, F.lit(1)).otherwise(F.lit(-1))).alias("net")
+        )
+        guarded = net.where(self._net_guard())
+        return guarded.select("vertex", (F.col("net") * F.col("eid")).alias("seid"))
+
+    def _partitioned_updates(self, stream: DataFrame) -> DataFrame:
+        """(vertex, seid) GROSS signed incidence rows, hash-partitioned by
+        vertex — the build shuffle WITHOUT the net aggregation (build_state
+        nets in numpy inside the build stage; packed_updates layers the JVM
+        aggregation on top for consumers that want net rows as a table)."""
         n = self.num_vertices
         canon = self._canonical_updates(stream)
         seid = F.col("sign") * (F.col("lo") * F.lit(n) + F.col("hi"))
@@ -259,15 +271,18 @@ class SketchCC:
                 )
             )
         )
-        part = both.repartition(self.num_partitions, "vertex")
-        net = part.groupBy("vertex", F.abs("seid").alias("eid")).agg(
-            F.sum(F.when(F.col("seid") > 0, F.lit(1)).otherwise(F.lit(-1))).alias("net")
-        )
-        guarded = net.where(self._net_guard())
-        return guarded.select("vertex", (F.col("net") * F.col("eid")).alias("seid"))
+        return both.repartition(self.num_partitions, "vertex")
 
     def build_state(self, stream: DataFrame) -> DataFrame:
-        """Build the (vertex, det, grp) state table from a full stream slice."""
+        """Build the (vertex, det, grp) state table from a full stream slice.
+
+        The JVM net-multiplicity aggregation between the exchange and the
+        python stage stays DELIBERATELY (round-8 interleaved A/B): the Arrow
+        boundary charges per row, and netting cuts the rows crossing it 3x
+        at kron_17 (63M gross -> 21M net) — moving the netting into numpy
+        (sort + segmented reduce, body measured at 0.29s/partition) still
+        lost ~6s end-to-end to the extra 42M rows of Arrow serialization
+        (old best 7.2s / median 8.6 vs new 13.1/18.7)."""
         geom = self.geom
         gsz = geom.cols_per_sample * geom.bkt_per_col
         n_groups = geom.num_samples

@@ -179,7 +179,10 @@ def test_build_state_has_single_exchange(spark, parquet_stream):
     """Ingest = exactly ONE exchange: the repartition(vertex) gutter shuffle.
     hashpartitioning(vertex) satisfies the (vertex, eid) clustered
     distribution, so the net-multiplicity groupBy must run partition-local
-    AFTER it — a second exchange here is the round-3 plan regressing."""
+    AFTER it — a second exchange here is the round-3 plan regressing. The
+    JVM net agg must stay between exchange and python stage: the Arrow
+    boundary charges per row, and netting cuts rows crossing it 3x (the
+    round-8 A/B in build_state's docstring)."""
     from graphzeppelin_spark.operators.sketch_cc import SketchCC
 
     import re
