@@ -125,17 +125,70 @@ def fingerprint(text: Column) -> Column:
 
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per doc with every text-analysis signal (the pipeline's
-    feature table)."""
+    feature table).
+
+    Factored (round 8): the component functions each re-split the text —
+    35+ regex splits per row across stopword/marker counts, and Catalyst's
+    subexpression elimination does not fuse duplicated higher-order-function
+    trees — so the profile computes the two token arrays ONCE in a first
+    projection and expresses every signal over them. Formulas are the
+    component functions' verbatim (identical values; the contract oracle
+    pins them)."""
     t = F.col(text_col)
-    return docs.select(
+    base = docs.select(
         "doc_id",
-        token_count(t).alias("n_tokens"),
-        bpe_ish_token_count(t).alias("n_subword_tokens"),
-        punct_ratio(t).alias("punct_ratio"),
-        stopword_ratio(t).alias("stopword_ratio"),
-        quality_score(t).alias("quality"),
-        language_id(t).alias("lang_pred"),
-        fingerprint(t).alias("fingerprint"),
+        t.alias("_t"),
+        F.split(F.trim(t), "\\s+").alias("_tk"),
+        F.split(F.trim(F.lower(t)), "\\s+").alias("_lt"),
+    )
+    tt = F.col("_t")
+
+    def cnt(word: str) -> Column:
+        return F.size(F.filter(F.col("_lt"), lambda x: x == F.lit(word)))
+
+    ntok = F.when(F.length(F.trim(tt)) == 0, F.lit(0)).otherwise(F.size("_tk"))
+    n_subword = F.greatest(ntok, F.ceil(F.length(tt) / F.lit(4.0)).cast("long"))
+    removed = F.translate(tt, ".,!?;:", "")
+    punct_raw = (F.length(tt) - F.length(removed)) / F.greatest(
+        F.length(tt), F.lit(1)
+    )
+    sw = None
+    for w in STOPWORDS:
+        c = cnt(w)
+        sw = c if sw is None else sw + c
+    sw_raw = sw / F.greatest(ntok, F.lit(1))
+    # quality_score's formula verbatim, over the factored 9-digit ratios
+    length_term = F.least(F.length(tt) / F.lit(500.0), F.lit(1.0))
+    sw9 = round_portable(sw_raw, 9)
+    sw_term = F.lit(1.0) - F.abs(sw9 - F.lit(0.4)) / F.lit(0.4)
+    punct_term = F.lit(1.0) - F.least(round_portable(punct_raw, 9) * 10, F.lit(1.0))
+    quality = round_portable(
+        0.4 * length_term + 0.3 * F.greatest(sw_term, F.lit(0.0)) + 0.3 * punct_term,
+        6,
+    )
+    # language_id's tie-break loop verbatim, over the factored counts
+    scores = {
+        lang: sum_cols([cnt(w) for w in words])
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in ["en", "de", "fr", "es", "zh"]:
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return base.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        n_subword.alias("n_subword_tokens"),
+        round_portable(punct_raw, 6).alias("punct_ratio"),
+        round_portable(sw_raw, 6).alias("stopword_ratio"),
+        quality.alias("quality"),
+        best.alias("lang_pred"),
+        F.md5(F.regexp_replace(F.trim(F.lower(tt)), "\\s+", " ")).alias(
+            "fingerprint"
+        ),
     )
 
 
