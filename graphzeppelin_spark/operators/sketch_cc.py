@@ -141,12 +141,16 @@ class SketchCC:
             samples_factor=samples_factor,
             variant=variant,
         )
-        # default: session shuffle parallelism, capped — each partition owns a
-        # SketchMatrix block, and hundreds of tiny python tasks cost more than
-        # they parallelize at sandbox scale (a cluster passes this explicitly)
-        self.num_partitions = num_partitions or min(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 64
-        )
+        # default: session shuffle parallelism, capped at the cluster core
+        # count — each partition owns a SketchMatrix block; python build
+        # tasks beyond the core count only add per-task fixed cost (64 vs 32
+        # build partitions A/B'd equal-to-worse at local[32]; a cluster
+        # passes this explicitly to go wider for skew/memory headroom)
+        self.num_partitions = num_partitions or max(2, min(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            max(spark.sparkContext.defaultParallelism, 8),
+            64,
+        ))
         # sample groups consumed per DISTRIBUTED-labels Boruvka round: k
         # fresh groups sampled against one component partition give up to k
         # candidate cut edges per component, and one star-contraction of the
