@@ -99,6 +99,11 @@ PARTIAL_SCHEMA = T.StructType(
 FINISH_BATCH_GROUPS = 3
 FINISH_BATCH_BYTES = 16 * 1024 * 1024
 
+# sample groups consumed by boruvka's round 0 (every vertex samples its own
+# sketch): the extra group rides the same map pass and collapses the active
+# set entering the driver finish ~100x at kron_17 (see _boruvka_impl)
+ROUND0_GROUPS = 2
+
 SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("root", T.LongType(), False),
@@ -424,20 +429,21 @@ class SketchCC:
 
         slice_bytes_per_group = (g.cols_per_sample * g.bkt_per_col + 1) * 16
         active: np.ndarray | None = None  # roots that may still have cut edges
-        rnd = 0
+        rnd = 0  # round counter (stats / flow); gidx tracks groups consumed
+        gidx = 0
         import time as _time
 
         rounds_stats: list[dict] = []
         self.last_boruvka_stats = {"rounds": rounds_stats, "driver_finish_round": None}
         t_round = _time.time()
-        while rnd < budget:
+        while gidx < budget:
             labels = dsu.labels()
             if rnd > 0 and active is not None:
                 # map last round's active roots through the merges; ZERO
                 # components dropped permanently (their sketches are empty —
                 # no cut edges can ever appear without new stream updates)
                 active = np.unique(labels[active])
-                remaining = budget - rnd
+                remaining = budget - gidx
                 if len(active) == 0:
                     break
                 # exact collected size: _finish_driver_side pre-reduces per
@@ -452,7 +458,7 @@ class SketchCC:
                     self.last_boruvka_stats["driver_finish_round"] = rnd
                     self.last_boruvka_stats["driver_finish_components"] = len(active)
                     self._finish_driver_side(
-                        state, labels, active, rnd, budget, dsu, forest,
+                        state, labels, active, gidx, budget, dsu, forest,
                         _apply_edges, driver_finish_bytes=driver_finish_bytes,
                     )
                     rounds_stats.append(
@@ -462,9 +468,19 @@ class SketchCC:
                     )
                     break
             if rnd == 0:
-                sampled = self._sample_round0(state)
+                # round 0 samples ROUND0_GROUPS fresh groups of every
+                # vertex's own sketch in the same map pass: a second group
+                # costs nothing extra (identical transfer/decode shape) and
+                # collapses the post-round-0 active set dramatically — at
+                # kron_17, 2406 active components after 1 group vs 21 after
+                # 2 at the same 0.6-0.7s round cost — so the driver finish
+                # starts from a near-converged partition
+                k0 = min(ROUND0_GROUPS, budget)
+                sampled = self._sample_round0(state, k0)
+                gidx += k0
             else:
-                sampled = self._sample_round(state, labels, rnd, rnd + 1, active)
+                sampled = self._sample_round(state, labels, gidx, gidx + 1, active)
+                gidx += 1
             nonzero = sampled[sampled["status"] != ZERO]
             active = np.unique(nonzero["root"].to_numpy(np.int64))
             good = nonzero[nonzero["status"] == GOOD]
@@ -586,7 +602,15 @@ class SketchCC:
         while gi_abs < budget and len(act) > 1:
             cap = self.finish_batch_bytes or FINISH_BATCH_BYTES
             by_gate = cap // max(1, len(act) * slice_bytes_per_group)
-            kb = min(budget - gi_abs, max(batch_groups, int(by_gate)))
+            # hard group ceiling: a tiny active set makes the COLLECT
+            # estimate permissive, but the reduce still scans and decodes
+            # the whole state at the batch's width — wide dense decode
+            # buffers were the measured cost of wide batches, independent
+            # of the collect size
+            kb = min(
+                budget - gi_abs,
+                max(batch_groups, min(int(by_gate), 2 * batch_groups)),
+            )
             labels_now = dsu.labels()
             act = np.unique(labels_now[act])  # contract through merges so far
             if len(act) <= 1:
@@ -683,10 +707,11 @@ class SketchCC:
 
         return sliced.mapInPandas(_sample, schema=SAMPLE_SCHEMA)
 
-    def _sample_round0(self, state: DataFrame) -> pd.DataFrame:
+    def _sample_round0(self, state: DataFrame, k0: int = 1) -> pd.DataFrame:
         """Round 0 of the driver-DSU fast path: sample every vertex's own
-        sketch (cc_sketch_alg.cpp:223-244 analog) — no shuffle at all."""
-        out = self._sampled_vertices(state, 0, 1)
+        sketch (cc_sketch_alg.cpp:223-244 analog) — no shuffle at all.
+        k0 > 1 consumes that many fresh sample groups in the one map pass."""
+        out = self._sampled_vertices(state, 0, k0)
         # non-ZERO rows only: ZERO rows are isolated vertices (usually most
         # of a web graph) and are excluded from every subsequent round
         pdf = out.where(F.col("status") != ZERO).toPandas()
