@@ -17,8 +17,9 @@ The Spark rendering of the reference's CC pipeline (SURVEY.md §3.1):
                                                rows (≤ #components per round,
                                                geometrically shrinking)
 
-State is a DataFrame (vertex: long, sketch: binary) — the Spark image of the
-reference's Bucket* arrays — checkpointable to parquet at any point and
+State is a DataFrame (vertex: long, det: binary, grp: array<binary>) — the
+Spark image of the reference's Bucket* arrays, laid out one sparse blob per
+sample group (see STATE_SCHEMA) — checkpointable to parquet at any point and
 mergeable with later micro-batch deltas because the sketch is a linear
 aggregate (streaming/driver.py builds on this).
 
