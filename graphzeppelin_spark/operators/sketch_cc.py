@@ -88,17 +88,16 @@ PARTIAL_SCHEMA = T.StructType(
     ]
 )
 
-# driver-finish batching (see _finish_driver_side): at least
-# FINISH_BATCH_GROUPS sample groups per collected batch, widened while the
-# batch's estimated dense collect stays under FINISH_BATCH_BYTES. Interleaved
-# A/B at kron_17 (2406 comps) and the sf0.1 chain (5165 comps): 3-group
-# batches beat gate-sized ones at BOTH scales (kron_17 finish 1.39-1.76s vs
-# 2.9-7.8s; chain 1.83-1.91 vs 2.2-2.9) — wide batches pay in driver collect
-# bytes, wide dense decode buffers and GC, while a narrow batch almost always
-# converges the tail anyway. Tiny states (< ~16MB of remaining slices) still
-# collect everything in one batch.
+# driver-finish batching (see _finish_driver_side): FINISH_BATCH_GROUPS
+# sample groups per collected batch. Interleaved A/B at every probed regime
+# — kron_17 at 2406 and at 21 active components, the sf0.1 chain at 5165,
+# kron_21 at 305 — narrow 3-group batches beat or tie wider ones (kron_17
+# finish 1.39-1.76s vs 2.9-7.8s gate-sized; kron_21 9.1s vs 13.5s for 3 vs
+# 6 groups): the reduce scans and decodes the WHOLE state at the batch's
+# width regardless of active count, so wide batches pay full-state decode,
+# driver collect bytes and GC, while a narrow batch almost always converges
+# the tail anyway (components shrink geometrically).
 FINISH_BATCH_GROUPS = 3
-FINISH_BATCH_BYTES = 16 * 1024 * 1024
 
 # sample groups consumed by boruvka's round 0 (every vertex samples its own
 # sketch): the extra group rides the same map pass and collapses the active
@@ -164,9 +163,6 @@ class SketchCC:
         # the number of sequential Spark rounds (the distributed path's cost
         # driver) drops ~k-fold for the same sample budget
         self.groups_per_round = groups_per_round
-        # optional cap (bytes) on a single driver-finish batch's estimated
-        # collect; None = the measured FINISH_BATCH_BYTES default
-        self.finish_batch_bytes: int | None = None
 
     # ------------------------------------------------------------------ build
 
@@ -584,16 +580,14 @@ class SketchCC:
         distributed first, so the gate estimate in boruvka() is the true
         collected size.
 
-        Groups are collected in small batches (FINISH_BATCH_GROUPS, widened
-        only while the batch's estimated collect stays under
-        FINISH_BATCH_BYTES — so test-scale states still one-shot), not
-        all-remaining at once: wide batches pay in driver collect bytes,
-        wide dense decode buffers and GC, while a narrow batch almost always
-        converges the tail anyway (see the constants' A/B numbers). A later
-        batch, when needed at all, reduces over the contracted (much
-        smaller) active set; its per-component sums are identical to the
-        one-shot collect because the slice aggregation commutes with DSU
-        contraction (linear sketch)."""
+        Groups are collected in fixed narrow batches (FINISH_BATCH_GROUPS),
+        not all-remaining at once: wide batches pay in full-state decode
+        width, driver collect bytes and GC, while a narrow batch almost
+        always converges the tail anyway (see the constant's A/B numbers).
+        A later batch, when needed at all, reduces over the contracted
+        (much smaller) active set; its per-component sums are identical to
+        the one-shot collect because the slice aggregation commutes with
+        DSU contraction (linear sketch)."""
         g = self.geom
         n = self.num_vertices
         slice_bytes_per_group = (g.cols_per_sample * g.bkt_per_col + 1) * 16
@@ -601,17 +595,14 @@ class SketchCC:
         gi_abs = start_round
         act = np.asarray(active, dtype=np.int64)
         while gi_abs < budget and len(act) > 1:
-            cap = self.finish_batch_bytes or FINISH_BATCH_BYTES
-            by_gate = cap // max(1, len(act) * slice_bytes_per_group)
-            # hard group ceiling: a tiny active set makes the COLLECT
-            # estimate permissive, but the reduce still scans and decodes
-            # the whole state at the batch's width — wide dense decode
-            # buffers were the measured cost of wide batches, independent
-            # of the collect size
-            kb = min(
-                budget - gi_abs,
-                max(batch_groups, min(int(by_gate), 2 * batch_groups)),
-            )
+            # fixed narrow batches: the reduce scans and decodes the WHOLE
+            # state at the batch's width regardless of how few components
+            # are active, so widening the batch when the collect estimate
+            # is permissive still pays full-state decode cost — 3-group
+            # batches measured best-or-tied at every probed regime
+            # (kron_17 at 2406 and 21 active, the sf0.1 chain at 5165,
+            # kron_21 at 305: finish 9.1s vs 13.5s for 3 vs 6 groups)
+            kb = min(budget - gi_abs, batch_groups)
             labels_now = dsu.labels()
             act = np.unique(labels_now[act])  # contract through merges so far
             if len(act) <= 1:

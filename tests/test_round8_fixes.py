@@ -62,13 +62,13 @@ def test_round_sampler_ships_sliced_groups(spark):
 
 
 def test_driver_finish_batches_match_oracle(spark):
-    """Force the driver finish into many tiny batches (1-group cap) on the
-    adversarial path graph — the batched collect must reproduce the exact
-    oracle labeling (per-component sums commute with DSU contraction)."""
+    """The driver finish collects fixed 3-group batches; on the adversarial
+    path graph convergence needs several batches, and the batched collect
+    must reproduce the exact oracle labeling (per-component sums commute
+    with DSU contraction)."""
     n = 128
     s = path_graph_stream(n, seed=2)
     alg = SketchCC(spark, num_vertices=n, seed=7)
-    alg.finish_batch_bytes = 1  # kb floor = FINISH_BATCH_GROUPS every batch
     state = alg.build_state(stream_df(spark, s))
     labels, forest = alg.boruvka(state)
     edges_np = oracle.live_edges(s, n)
