@@ -3,18 +3,26 @@
 Input is the Common-Crawl-style table (url: string, warc_ts: timestamp,
 html: binary, text: string, lang: string). This module provides:
 
-- extract_text: vectorized HTML → text extraction (Arrow-batched pandas UDF,
-  no per-row Python loop); the per-row invariant is that extraction is
-  byte-identical per url with the table's `text` column;
-- extract_hrefs: vectorized href extraction → (src_url, dst_url) pairs;
+- extract_text: HTML → text extraction as a pure Catalyst expression
+  (regexp_extract inside the JVM, no Python boundary); the per-row invariant
+  is that extraction is byte-identical per url with the table's `text`
+  column;
+- extract_hrefs: href extraction → (src_url, dst_url) pairs, likewise pure
+  Catalyst (regexp_extract_all + explode);
 - url_dictionary: url → dense long id, deterministic and scalable (hash
   partition → per-partition row_number → add broadcast per-partition
   offsets; no global sort, no single-reducer Window);
 - edge_table: the salted, hash-partitioned (src, dst) long-id edge table the
   graph operators consume.
 
-Scale notes: html/text never leave the scan stage except through the pandas
-UDFs (column pruning keeps untouched columns out of memory); the dictionary
+Scale notes: extraction runs inside WholeStageCodegen on the scan — no
+ArrowEvalPython node, so the html bytes are never transposed to Arrow or
+shipped to Python workers (they previously crossed the boundary through an
+Arrow-batched pandas UDF; at sf0.1 the two are within noise of each other —
+the fixture cost is join-stage latency — but at crawl scale the extraction
+stage is where the TBs flow, and the live-crawl streaming path drops its
+python-worker dependency too). A production extractor needing a real HTML
+parser would go back behind a mapInArrow of (url, html) only. The dictionary
 join broadcasts when small and hash-joins otherwise; the final edge table is
 repartitioned by a salted hash of src so power-law hub pages do not pin a
 partition (north_rule: explicit skew salting).
@@ -22,43 +30,36 @@ partition (north_rule: explicit skew salting).
 
 from __future__ import annotations
 
-import re
-
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-_HREF_RE = re.compile(r'<a\s+[^>]*href="([^"]+)"')
-# text = contents of <article>...</article>, as produced by the pages fixture;
-# a production extractor would use a real HTML parser behind the same UDF shape
-_ARTICLE_RE = re.compile(r"<article>(.*?)</article>", re.S)
-
-
-@F.pandas_udf(T.StringType())
-def extract_text_udf(html: pd.Series) -> pd.Series:
-    """Extract the article text from raw html bytes — pandas' vectorized
-    .str regex path (no per-row Python lambda)."""
-    s = html.str.decode("utf-8", errors="replace").fillna("")
-    return s.str.extract(_ARTICLE_RE, expand=False).fillna("")
-
-
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def extract_hrefs_udf(html: pd.Series) -> pd.Series:
-    """All href targets in each page — pandas' vectorized .str.findall."""
-    s = html.str.decode("utf-8", errors="replace").fillna("")
-    return s.str.findall(_HREF_RE)
+# text = contents of <article>...</article>, as produced by the pages fixture
+# ((?s): the article body spans newlines); hrefs = every anchor target. Both
+# regexes are mirrored verbatim by the DuckDB oracle twin (pages_edges uses
+# the identical href pattern through regexp_extract_all there).
+_ARTICLE_PATTERN = r"(?s)<article>(.*?)</article>"
+_HREF_PATTERN = r'<a\s+[^>]*href="([^"]+)"'
 
 
 def extract_text(pages: DataFrame) -> DataFrame:
     """(url, extracted_text) — must be byte-identical to pages.text per url."""
-    return pages.select("url", extract_text_udf("html").alias("extracted_text"))
+    s = F.col("html").cast("string")
+    return pages.select(
+        "url",
+        F.coalesce(
+            F.regexp_extract(s, _ARTICLE_PATTERN, 1), F.lit("")
+        ).alias("extracted_text"),
+    )
 
 
 def extract_hrefs(pages: DataFrame) -> DataFrame:
     """(src_url, dst_url) pairs from anchor tags."""
+    s = F.col("html").cast("string")
     return (
-        pages.select(F.col("url").alias("src_url"), extract_hrefs_udf("html").alias("hrefs"))
+        pages.select(
+            F.col("url").alias("src_url"),
+            F.regexp_extract_all(s, F.lit(_HREF_PATTERN), F.lit(1)).alias("hrefs"),
+        )
         .select("src_url", F.explode("hrefs").alias("dst_url"))
     )
 
