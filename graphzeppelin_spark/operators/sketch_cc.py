@@ -104,6 +104,12 @@ FINISH_BATCH_GROUPS = 3
 # set entering the driver finish ~100x at kron_17 (see _boruvka_impl)
 ROUND0_GROUPS = 2
 
+# build_state's fused single-column ingest key (see _packed_skeys): the
+# magnitude eid*2 + is_hi < 2*n^2 must stay inside a signed int64, so the
+# fused path engages only for num_vertices <= 2^30 (~10^9 vertices — every
+# workload in this repo); larger universes keep the two-column path.
+FUSED_KEY_MAX_N = 1 << 30
+
 SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("root", T.LongType(), False),
@@ -279,6 +285,63 @@ class SketchCC:
         )
         return both.repartition(self.num_partitions, "vertex")
 
+    def _packed_skeys(self, stream: DataFrame) -> DataFrame:
+        """One-column net updates for the build hot path: ``o`` int64 rows,
+        hash-partitioned by vertex, carrying the SAME information as
+        packed_updates' (vertex, seid) — the vertex is recomputed from the
+        edge id instead of shipped.
+
+        Encoding: a gross incidence row is ``skey = u * (eid*2 + is_hi)``
+        where u is the update sign, eid = lo*n + hi, and is_hi says which
+        endpoint this row is for (the vertex is then lo or hi of eid — 1
+        redundant bit instead of a redundant 8-byte column). After the
+        per-(endpoint, edge) net aggregation, ``o = seid_sign * (eid*2 +
+        is_hi)`` with seid_sign = net * (+1 at lo / -1 at hi), i.e. exactly
+        packed_updates' AGM-signed net rows in one column. Why (guide §2.3,
+        §4.1): the build exchange ships 16-byte UnsafeRows instead of
+        24-byte two-column rows (-33% shuffle bytes on the ingest's ONE
+        full-width exchange) and the Arrow boundary crosses 8 bytes/row
+        instead of 16 — kron_17 interleaved A/B over 8 pairs: fused best
+        6.59s / median ~7.2 vs two-col best 7.10 / median ~8.6, with a
+        byte-identical state (bit_xor checksum over (vertex, det, grp)
+        equal) and visibly smaller stall exposure (max 10.2s vs 20.0s under
+        co-tenant bursts). All decode arithmetic is exact integer ops
+        (shiftright / div / %): float division would silently lose
+        precision past 2^53. Gated on FUSED_KEY_MAX_N."""
+        n = self.num_vertices
+        canon = self._canonical_updates(stream)
+        eid2 = (F.col("lo") * F.lit(n) + F.col("hi")) * F.lit(2)
+        both = canon.select(
+            F.inline(
+                F.array(
+                    F.struct((F.col("sign") * eid2).alias("skey")),
+                    F.struct((F.col("sign") * (eid2 + F.lit(1))).alias("skey")),
+                )
+            )
+        )
+        # vertex recomputed from skey; the SAME expression object partitions
+        # and groups, so the groupBy reuses the one exchange (plan-gated)
+        vexpr = F.expr(
+            f"if((abs(skey) & 1) = 1,"
+            f" shiftright(abs(skey), 1) % {n},"
+            f" shiftright(abs(skey), 1) div {n})"
+        )
+        part = both.repartition(self.num_partitions, vexpr)
+        grouped = part.groupBy(
+            vexpr.alias("v"), F.abs(F.col("skey")).alias("akey")
+        ).agg(
+            F.sum(
+                F.when(F.col("skey") > 0, F.lit(1)).otherwise(F.lit(-1))
+            ).alias("net")
+        )
+        guarded = grouped.select(
+            "akey", "net", F.shiftright(F.col("akey"), 1).alias("eid")
+        ).where(self._net_guard())
+        agm = F.when(
+            F.col("akey").bitwiseAND(F.lit(1)) == 1, -F.col("net")
+        ).otherwise(F.col("net"))
+        return guarded.select((agm * F.col("akey")).alias("o"))
+
     def build_state(self, stream: DataFrame) -> DataFrame:
         """Build the (vertex, det, grp) state table from a full stream slice.
 
@@ -288,20 +351,38 @@ class SketchCC:
         at kron_17 (63M gross -> 21M net) — moving the netting into numpy
         (sort + segmented reduce, body measured at 0.29s/partition) still
         lost ~6s end-to-end to the extra 42M rows of Arrow serialization
-        (old best 7.2s / median 8.6 vs new 13.1/18.7)."""
+        (old best 7.2s / median 8.6 vs new 13.1/18.7).
+
+        For num_vertices <= FUSED_KEY_MAX_N the exchange + Arrow rows are
+        the fused one-column encoding (_packed_skeys); the state produced is
+        byte-identical either way (checksum-pinned regression test)."""
         geom = self.geom
+        n = self.num_vertices
         gsz = geom.cols_per_sample * geom.bkt_per_col
         n_groups = geom.num_samples
-        updates = self.packed_updates(stream)  # already partitioned by vertex
+        fused = n <= FUSED_KEY_MAX_N
+        # both inputs are already hash-partitioned by vertex
+        updates = self._packed_skeys(stream) if fused else self.packed_updates(stream)
 
         def _build(batches):
             for pdf in _concat(batches):
-                verts = pdf["vertex"].to_numpy(np.int64)
+                if fused:
+                    o = pdf["o"].to_numpy(np.int64)
+                    signs = np.where(o >= 0, np.int64(1), np.int64(-1))
+                    akey = np.abs(o).astype(np.uint64)
+                    eids = akey >> np.uint64(1)
+                    is_hi = (akey & np.uint64(1)).astype(bool)
+                    lo = (eids // np.uint64(n)).astype(np.int64)
+                    hi = (eids % np.uint64(n)).astype(np.int64)
+                    verts = np.where(is_hi, hi, lo)
+                else:
+                    verts = pdf["vertex"].to_numpy(np.int64)
+                    seid = pdf["seid"].to_numpy(np.int64)
+                    signs = np.where(seid >= 0, np.int64(1), np.int64(-1))
+                    eids = np.abs(seid).astype(np.uint64)
                 uniq, inv = np.unique(verts, return_inverse=True)
-                seid = pdf["seid"].to_numpy(np.int64)
-                signs = np.where(seid >= 0, np.int64(1), np.int64(-1))
                 sm = SketchMatrix(geom, len(uniq), reuse_slot="build")
-                sm.update_many(inv, np.abs(seid).astype(np.uint64), signs=signs)
+                sm.update_many(inv, eids, signs=signs)
                 dets, grps = encode_group_rows(sm.buckets, gsz, n_groups)
                 yield pd.DataFrame({"vertex": uniq, "det": dets, "grp": grps})
 

@@ -171,3 +171,69 @@ def test_bulk_apply_edges_labels_canonical(spark):
     # canonical: every label is the minimum vertex id of its component
     for comp in np.unique(labels):
         assert comp == np.flatnonzero(labels == comp).min()
+
+
+def _state_checksum(state):
+    """Order-insensitive full-content checksum of a (vertex, det, grp) state."""
+    from pyspark.sql import functions as F
+
+    return tuple(
+        state.select(
+            F.expr("bit_xor(xxhash64(vertex, det, to_json(struct(grp))))").alias("cs"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+    )
+
+
+def test_fused_skey_build_state_byte_identical(spark, monkeypatch):
+    """build_state's fused one-column ingest encoding (skey = u*(eid*2+is_hi))
+    must produce a byte-identical state to the two-column (vertex, seid)
+    path — including delete updates and repeat insert/delete toggles."""
+    import pandas as pd
+
+    from graphzeppelin_spark.operators import sketch_cc as scc
+
+    n = 300
+    rng = np.random.default_rng(7)
+    rows = []
+    seq = 0
+    live: set[tuple[int, int]] = set()
+    # random insert/delete toggles, alternating per edge as the stream
+    # contract requires (an op on an edge flips its live state)
+    for _ in range(900):
+        a, b = rng.integers(0, n, size=2)
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        if key in live:
+            rows.append((seq, 1, int(a), int(b))); seq += 1
+            live.discard(key)
+        else:
+            rows.append((seq, 0, int(a), int(b))); seq += 1
+            live.add(key)
+    pdf = pd.DataFrame(rows, columns=["seq", "type", "src", "dst"])
+    stream = stream_df(spark, pdf)
+
+    alg = SketchCC(spark, num_vertices=n, seed=5)
+    assert n <= scc.FUSED_KEY_MAX_N  # fused path engaged
+    cs_fused = _state_checksum(alg.build_state(stream))
+    monkeypatch.setattr(scc, "FUSED_KEY_MAX_N", 0)  # force two-column path
+    cs_twocol = _state_checksum(alg.build_state(stream))
+    assert cs_fused == cs_twocol
+    # and the query result over the fused state matches the exact oracle
+    labels, _ = alg.boruvka(alg.build_state(stream))
+    edges_np = oracle.live_edges(pdf, n)
+    np.testing.assert_array_equal(labels, oracle.connected_components(edges_np, n))
+
+
+def test_fused_skey_build_state_raises_on_malformed(spark):
+    """The |net|>1 stream-contract guard must still fire through the fused
+    encoding (two inserts of one edge in one slice)."""
+    import pandas as pd
+
+    bad = pd.DataFrame(
+        [(0, 0, 1, 2), (1, 0, 1, 2)], columns=["seq", "type", "src", "dst"]
+    )
+    alg = SketchCC(spark, num_vertices=16, seed=5)
+    with pytest.raises(Exception, match="non-alternating"):
+        alg.build_state(stream_df(spark, bad)).count()
